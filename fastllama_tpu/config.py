@@ -1,0 +1,112 @@
+"""Model / engine configuration.
+
+TPU-native counterpart of the reference's ``TransformerConfig``
+(``/root/reference/src/model_loaders/model_loader.h:47-70``).  Hyper-parameters
+come from the checkpoint itself; engine knobs (quantization type, batch size)
+come from the CLI, mirroring ``main.cpp:22-46``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+
+class QuantType(enum.Enum):
+    """Quantization bit-widths (reference: quant_operators.h:17-24)."""
+
+    NONE = 0
+    INT16 = 1
+    INT8 = 2
+    INT4 = 3
+
+    @property
+    def factor(self) -> int:
+        # reference: quant_operators.h:32-34 (QUANT16/8/4_FACTOR)
+        return {QuantType.NONE: 0, QuantType.INT16: 5792,
+                QuantType.INT8: 127, QuantType.INT4: 7}[self]
+
+    @staticmethod
+    def parse(name: str) -> "QuantType":
+        return {
+            "none": QuantType.NONE, "fp32": QuantType.NONE,
+            "int16": QuantType.INT16, "q16": QuantType.INT16,
+            "int8": QuantType.INT8, "q8": QuantType.INT8,
+            "int4": QuantType.INT4, "q4": QuantType.INT4,
+        }[name.lower()]
+
+
+class ModelArchitecture(enum.Enum):
+    NONE = 0
+    LLAMA = 1
+
+
+class ActivationType(enum.Enum):
+    NONE = 0
+    SILU = 1
+    SWIGLU = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static transformer hyper-parameters.
+
+    Mirrors reference ``TransformerConfig`` (model_loader.h:47-70) field by
+    field, with TPU additions (dtypes).  All fields are hashable so the config
+    can be a static argument under ``jax.jit``.
+    """
+
+    dim: int
+    hidden_dim: int
+    n_layers: int
+    n_heads: int
+    n_kv_heads: int
+    vocab_size: int
+    max_seq_len: int
+
+    arch: ModelArchitecture = ModelArchitecture.LLAMA
+    act_type: ActivationType = ActivationType.SWIGLU
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+
+    quant_type: QuantType = QuantType.INT8
+    group_size: int = 64  # reference default: tensor.h:49
+
+    name: str = ""
+
+    @property
+    def head_size(self) -> int:
+        return self.dim // self.n_heads
+
+    @property
+    def kv_dim(self) -> int:
+        return self.head_size * self.n_kv_heads
+
+    @property
+    def q_per_kv(self) -> int:
+        # reference requires n_heads % n_kv_heads == 0 (transformer.cpp:215-218)
+        return self.n_heads // self.n_kv_heads
+
+    def validate(self) -> None:
+        if self.dim % self.n_heads != 0:
+            raise ValueError(f"dim={self.dim} not divisible by n_heads={self.n_heads}")
+        if self.n_heads % self.n_kv_heads != 0:
+            raise ValueError(
+                f"n_heads={self.n_heads} not divisible by n_kv_heads={self.n_kv_heads}")
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Runtime engine knobs (reference ``Arguments``, main.cpp:22-46)."""
+
+    max_seq_len: Optional[int] = None   # clamp, like transformer.cpp:32
+    max_batch_size: int = 1             # decode batch slots
+    prefill_buckets: tuple = (32, 64, 128, 256, 512, 1024)
+    kv_dtype: str = "float32"           # reference keeps fp32 KV (transformer.cpp:368)
+    compute_dtype: str = "float32"
+    use_pallas: bool = True             # fused kernels on TPU; jnp fallback otherwise
+    parity_mode: bool = False           # bit-faithful reference math (act-quant int dot)
+    donate_cache: bool = True

@@ -1,0 +1,199 @@
+"""LLaMA-family forward pass, TPU-first.
+
+Functional re-design of the reference's ``ParallelTransformer::forward``
+(``/root/reference/src/transformer/transformer.cpp:105-161``): the per-layer
+dataflow (rmsnorm -> QKV -> RoPE+attention -> O-proj+residual -> rmsnorm ->
+SwiGLU FFN -> residual -> final rmsnorm -> classifier) is identical; the
+mechanism is not.  Where the reference forks 6 thread-pool barriers per layer
+over row-sharded weights, here the whole step is ONE jitted SPMD program:
+layers run under ``lax.scan`` over layer-stacked weights, XLA's static
+schedule is the barrier structure, and GSPMD shardings (parallel/sharding.py)
+replace the thread-level row split.
+
+Static shapes throughout: the KV cache is preallocated at ``max_seq_len``
+(the analogue of the reference's zero-allocation ``SequentialAllocator``
+arenas, alignmem.hpp:130) and positions are masked, never sliced dynamically.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastllama_tpu.config import ModelConfig, QuantType
+from fastllama_tpu.ops.attention import gqa_attention, update_kv_cache
+from fastllama_tpu.ops.norms import rmsnorm, swiglu
+from fastllama_tpu.ops.qmatmul import qmatmul
+from fastllama_tpu.ops.rope import apply_rope_half, rope_cos_sin
+from fastllama_tpu.quant.groupquant import QArray, dequantize, quantize
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LlamaParams:
+    """Layer-stacked weights.  Quantized leaves are :class:`QArray` (int data
+    + fp32 group scales); norms stay fp32 like the reference
+    (TransformerWeights, model_loader.h:72-92).  Projection matrices are
+    stored (out, in) with quant groups along the contraction axis."""
+
+    embedding: Any        # (vocab, dim)            QArray | f32
+    attn_norm: jax.Array  # (L, dim)                f32
+    wq: Any               # (L, n_heads*hs, dim)
+    wk: Any               # (L, kv_dim, dim)
+    wv: Any               # (L, kv_dim, dim)
+    wo: Any               # (L, dim, n_heads*hs)
+    ffn_norm: jax.Array   # (L, dim)
+    w1: Any               # (L, hidden, dim)        gate (LAYER_MLP_GATE)
+    w2: Any               # (L, dim, hidden)        down
+    w3: Any               # (L, hidden, dim)        up
+    out_norm: jax.Array   # (dim,)
+    classifier: Any       # (vocab, dim)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Preallocated cache, (L, n_kv_heads, max_seq, head_size)."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @staticmethod
+    def create(cfg: ModelConfig, max_seq_len: Optional[int] = None,
+               dtype=jnp.float32) -> "KVCache":
+        S = max_seq_len or cfg.max_seq_len
+        shape = (cfg.n_layers, cfg.n_kv_heads, S, cfg.head_size)
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def embed_tokens(emb, tokens: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Gather + dequantize embedding rows (transformer.cpp:115-122)."""
+    if isinstance(emb, QArray):
+        rows = QArray(emb.data[tokens], emb.scales[tokens], emb.qtype,
+                      emb.group_size)
+        return dequantize(rows, dtype)
+    return emb[tokens].astype(dtype)
+
+
+def forward(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array, pos,
+            cache: KVCache, *, mm: Callable = qmatmul,
+            compute_dtype=jnp.float32) -> Tuple[jax.Array, KVCache]:
+    """One transformer step over T tokens at absolute positions
+    [pos, pos+T).  Returns per-token logits (T, vocab) and the updated cache.
+
+    Works for prefill (T = prompt bucket) and decode (T = 1) — the same
+    ``generate`` structure as transformer.cpp:92-101 where the whole prompt is
+    one batched forward.
+    """
+    T = tokens.shape[0]
+    hs, n_heads, n_kv = cfg.head_size, cfg.n_heads, cfg.n_kv_heads
+
+    x = embed_tokens(params.embedding, tokens, compute_dtype)       # (T, dim)
+    positions = pos + jnp.arange(T, dtype=jnp.int32)
+    cos, sin = rope_cos_sin(positions, hs, cfg.rope_theta, compute_dtype)
+
+    layer_xs = (
+        params.attn_norm, params.wq, params.wk, params.wv, params.wo,
+        params.ffn_norm, params.w1, params.w2, params.w3, cache.k, cache.v,
+    )
+
+    def layer_fn(x, layer):
+        (attn_norm_l, wq_l, wk_l, wv_l, wo_l,
+         ffn_norm_l, w1_l, w2_l, w3_l, kc_l, vc_l) = layer
+
+        h = rmsnorm(x, attn_norm_l, cfg.norm_eps)
+        q = mm(h, wq_l).reshape(T, n_heads, hs).transpose(1, 0, 2)
+        k = mm(h, wk_l).reshape(T, n_kv, hs).transpose(1, 0, 2)
+        v = mm(h, wv_l).reshape(T, n_kv, hs).transpose(1, 0, 2)
+
+        q = apply_rope_half(q, cos[None], sin[None])
+        k = apply_rope_half(k, cos[None], sin[None])
+
+        kc_l, vc_l = update_kv_cache(kc_l, vc_l, k, v, pos)
+        o = gqa_attention(q, kc_l, vc_l, pos)                   # (H, T, hs)
+        o = o.transpose(1, 0, 2).reshape(T, n_heads * hs)
+        x = x + mm(o, wo_l)
+
+        h = rmsnorm(x, ffn_norm_l, cfg.norm_eps)
+        x = x + mm(swiglu(mm(h, w1_l), mm(h, w3_l)), w2_l)
+        return x, (kc_l, vc_l)
+
+    x, (new_k, new_v) = jax.lax.scan(layer_fn, x, layer_xs)
+
+    x = rmsnorm(x, params.out_norm, cfg.norm_eps)
+    logits = mm(x, params.classifier)                            # (T, vocab)
+    return logits.astype(jnp.float32), KVCache(new_k, new_v)
+
+
+def logits_at(logits: jax.Array, length) -> jax.Array:
+    """Logits of the last *valid* token of a padded prefill (the analogue of
+    keeping only the final row, transformer.cpp:140-142)."""
+    return jax.lax.dynamic_index_in_dim(logits, length - 1, 0, keepdims=False)
+
+
+# ---------------------------------------------------------------------------
+# Parameter construction
+# ---------------------------------------------------------------------------
+
+_QUANTIZED_FIELDS = ("embedding", "wq", "wk", "wv", "wo", "w1", "w2", "w3",
+                     "classifier")
+_NORM_FIELDS = ("attn_norm", "ffn_norm", "out_norm")
+
+
+def build_params(cfg: ModelConfig, raw: dict, qtype: Optional[QuantType] = None,
+                 device_put=jnp.asarray) -> LlamaParams:
+    """Assemble params from a loader's numpy dict.
+
+    ``raw`` values are fp32 ndarrays, or ``(data, scales)`` tuples for
+    pre-quantized tensors (FLM files store int8/int16 directly,
+    flm_loader.cpp:493-559).  fp32 projection weights are quantized here to
+    ``qtype`` — the analogue of quantize-on-load (llama2c_loader.cpp:117-124).
+    """
+    qtype = qtype if qtype is not None else cfg.quant_type
+    gs = cfg.group_size
+    out = {}
+    for f in dataclasses.fields(LlamaParams):
+        v = raw[f.name]
+        if f.name in _NORM_FIELDS:
+            out[f.name] = device_put(np.asarray(v, dtype=np.float32))
+        elif isinstance(v, tuple):
+            data, scales = v
+            out[f.name] = QArray(device_put(data),
+                                 device_put(scales.astype(np.float32)),
+                                 qtype, gs)
+        elif qtype == QuantType.NONE:
+            out[f.name] = device_put(np.asarray(v, dtype=np.float32))
+        else:
+            from fastllama_tpu.quant.groupquant import quantize_np
+            data, scales = quantize_np(np.asarray(v, np.float32), qtype, gs)
+            out[f.name] = QArray(device_put(data), device_put(scales), qtype, gs)
+    return LlamaParams(**out)
+
+
+def random_params(cfg: ModelConfig, seed: int = 0,
+                  qtype: Optional[QuantType] = None,
+                  scale: float = 0.02) -> LlamaParams:
+    """Random (quantized) parameters, generated on-device — for tests and the
+    synthetic-weights benchmark."""
+    qtype = qtype if qtype is not None else cfg.quant_type
+    L, D, H, V = cfg.n_layers, cfg.dim, cfg.hidden_dim, cfg.vocab_size
+    kd, nh, hs = cfg.kv_dim, cfg.n_heads, cfg.head_size
+    shapes = dict(
+        embedding=(V, D), wq=(L, nh * hs, D), wk=(L, kd, D), wv=(L, kd, D),
+        wo=(L, D, nh * hs), w1=(L, H, D), w2=(L, D, H), w3=(L, H, D),
+        classifier=(V, D),
+    )
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(shapes))
+    out = dict(
+        attn_norm=jnp.ones((L, D), jnp.float32),
+        ffn_norm=jnp.ones((L, D), jnp.float32),
+        out_norm=jnp.ones((D,), jnp.float32),
+    )
+    for key, (name, shape) in zip(keys, shapes.items()):
+        w = jax.random.normal(key, shape, jnp.float32) * scale
+        out[name] = quantize(w, qtype, cfg.group_size) \
+            if qtype != QuantType.NONE else w
+    return LlamaParams(**out)

@@ -1,0 +1,69 @@
+"""GQA attention over a preallocated KV cache.
+
+Reference behaviour (``execute_attn``, transformer.cpp:397-455): per kv-head,
+append the new K/V rows at ``pos`` into a fixed-size cache, RoPE q/k, scores
+= K . q * 1/sqrt(head_size), per-row softmax over the first ``pos+i+1``
+entries (causal), output = scores-weighted sum of V.
+
+TPU-native design: the cache is a static-shape array ``(n_kv, max_seq,
+head_size)`` per layer, updated with ``lax.dynamic_update_slice`` (zero
+reallocation — the GSPMD analogue of the reference's preallocated per-thread
+cache, transformer.cpp:366-374).  Causality is a mask against absolute
+positions, never a dynamic shape.  Heads shard over the mesh 'model' axis
+(the analogue of the reference's kv-head split across its ATTN thread
+group).  The fused single-token decode kernel lives in ops/pallas/.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def update_kv_cache(k_cache: jax.Array, v_cache: jax.Array,
+                    k_new: jax.Array, v_new: jax.Array, pos) -> Tuple[jax.Array, jax.Array]:
+    """Write T new rows at [pos, pos+T).  k_cache: (n_kv, S, hs);
+    k_new: (n_kv, T, hs)."""
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k_new.astype(k_cache.dtype),
+                                           (0, pos, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v_new.astype(v_cache.dtype),
+                                           (0, pos, 0))
+    return k_cache, v_cache
+
+
+def gqa_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
+                  pos, *, causal_offset: bool = True) -> jax.Array:
+    """Masked GQA attention against the full cache.
+
+    q:        (n_heads, T, hs) — already RoPE'd, T query tokens at absolute
+              positions pos..pos+T-1.
+    k_cache:  (n_kv, S, hs), v_cache: (n_kv, S, hs) — rows >= pos+T are stale.
+    Returns   (n_heads, T, hs) in q.dtype.
+    """
+    n_heads, T, hs = q.shape
+    n_kv, S, _ = k_cache.shape
+    hgs = n_heads // n_kv
+
+    qf = q.reshape(n_kv, hgs, T, hs).astype(jnp.float32)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+
+    scores = jnp.einsum("kgth,ksh->kgts", qf, kf,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / jnp.sqrt(jnp.float32(hs)))
+
+    # query at absolute position pos+t may attend cache index s <= pos+t
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
+    mask = s_idx <= (t_idx + pos)
+    scores = jnp.where(mask[None, None], scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("kgts,ksh->kgth", probs, vf,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(n_heads, T, hs).astype(q.dtype)

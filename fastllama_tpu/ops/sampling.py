@@ -1,0 +1,48 @@
+"""Device-side token sampling.
+
+Reference: ``Sampler`` (sampler.cpp:113-137) — greedy argmax at temperature 0,
+otherwise temperature-softmax then multinomial or top-p nucleus sampling
+(sampler.cpp:70-111).  Here sampling runs *inside* the jitted step function
+with ``jax.random``, so logits never leave the device.  The reference's exact
+xorshift64* host sampler is reproduced in runtime/sampler.py for parity
+tests.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def greedy(logits: jax.Array) -> jax.Array:
+    """argmax over the last axis (sampler.cpp:36-47)."""
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def sample_top_p(logits: jax.Array, key: jax.Array, temperature: float,
+                 top_p: float) -> jax.Array:
+    """Temperature + nucleus sampling (sampler.cpp:70-111).
+
+    Keeps the smallest prefix of descending-probability tokens whose
+    cumulative mass exceeds ``top_p`` (inclusive of the crossing token, like
+    the reference's ``break`` at sampler.cpp:93-98), renormalizes, samples.
+    """
+    logits = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if top_p <= 0.0 or top_p >= 1.0:
+        return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    # token kept iff the mass strictly before it is < top_p
+    keep_mass = cum - sorted_probs < top_p
+    cutoff = jnp.min(jnp.where(keep_mass, sorted_probs, 1.0), axis=-1, keepdims=True)
+    masked_logits = jnp.where(probs >= cutoff, logits, -jnp.inf)
+    return jax.random.categorical(key, masked_logits, axis=-1).astype(jnp.int32)
+
+
+def sample(logits: jax.Array, key: jax.Array, temperature: float,
+           top_p: float) -> jax.Array:
+    """Static dispatch on temperature (the engine treats it as a compile-time
+    constant, mirroring the reference's branch at sampler.cpp:117)."""
+    if temperature == 0.0:
+        return greedy(logits)
+    return sample_top_p(logits, key, temperature, top_p)

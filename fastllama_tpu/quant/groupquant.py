@@ -1,0 +1,160 @@
+"""Group-wise symmetric quantization core.
+
+TPU-native re-design of the reference's quantization scheme
+(``/root/reference/src/blas/quant_operators.cpp:26-117``):
+
+* groups of ``group_size`` (default 64) elements along the **last** axis,
+* per-group scale ``s = max|x| / QF`` with QF = 5792 / 127 / 7 for
+  INT16 / INT8 / INT4 (quant_operators.h:32-34),
+* values quantized by **truncation toward zero** (``qx[j] = x[j] / r`` with a
+  C integer cast, quant_operators.cpp:33-45) — we reproduce that exactly so
+  converted checkpoints are bit-identical to ``tools/convert_flm.py``
+  (reference lines 216-243, which uses ``ndarray.astype`` = the same
+  truncation).
+
+Unlike the reference (separate ``char* data`` + ``float* scales`` buffers
+inside one Tensor), a :class:`QArray` is a JAX pytree of two device arrays, so
+it flows through ``jit`` / ``shard_map`` / donation like any other array, and
+sub-byte INT4 uses the native ``int4`` dtype rather than the reference's
+hand-packed ``Bit4Pair`` (quant_operators.h:25-31); packing only exists at the
+file-format boundary (see loaders/flm.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastllama_tpu.config import QuantType
+
+# INT4 values are carried in int8 lanes on device: the native jnp.int4 dtype
+# hits a device_put RecursionError on the axon TPU backend (verified on
+# jax 0.9.0 / TPU v5e), and sub-byte layouts buy nothing until the Pallas
+# kernels consume nibble-packed uint8 directly (pack_int4_np below is the
+# wire/kernel format, matching the reference's Bit4Pair).
+_QDTYPE = {
+    QuantType.INT16: jnp.int16,
+    QuantType.INT8: jnp.int8,
+    QuantType.INT4: jnp.int8,
+}
+_QDTYPE_NP = {
+    QuantType.INT16: np.int16,
+    QuantType.INT8: np.int8,
+    QuantType.INT4: np.int8,  # numpy has no int4; store unpacked in int8
+}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QArray:
+    """Group-quantized tensor: integer ``data`` + per-group fp32 ``scales``.
+
+    ``data`` has shape ``(..., K)``; ``scales`` has shape ``(..., K // gs)``.
+    Groups always run along the last axis (for weights stored ``(O, I)`` this
+    is the contraction axis, matching the reference's per-row grouping).
+    """
+
+    data: jax.Array
+    scales: jax.Array
+    qtype: QuantType = dataclasses.field(metadata=dict(static=True))
+    group_size: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def ndim(self):
+        return self.data.ndim
+
+    def astype_f(self, dtype=jnp.float32) -> jax.Array:
+        return dequantize(self, dtype)
+
+    def __getitem__(self, idx) -> "QArray":
+        # Leading-axis indexing only (layer slicing); groups live on last axis.
+        return QArray(self.data[idx], self.scales[idx], self.qtype, self.group_size)
+
+
+def _check(n: int, gs: int) -> None:
+    if n % gs != 0:
+        raise ValueError(f"last dim {n} not a multiple of group_size {gs}")
+
+
+def quantize(x: jax.Array, qtype: QuantType, group_size: int = 64) -> QArray:
+    """Quantize along the last axis. Matches quant_operators.cpp:26-47 exactly
+    (scale = max|group|/QF, truncation toward zero)."""
+    if qtype == QuantType.NONE:
+        raise ValueError("quantize() with QuantType.NONE")
+    gs = group_size
+    _check(x.shape[-1], gs)
+    g = x.reshape(*x.shape[:-1], x.shape[-1] // gs, gs).astype(jnp.float32)
+    scale = jnp.max(jnp.abs(g), axis=-1) / float(qtype.factor)
+    safe = jnp.where(scale > 0, scale, 1.0)
+    q = jnp.trunc(g / safe[..., None]).astype(_QDTYPE[qtype])
+    return QArray(q.reshape(x.shape), scale, qtype, gs)
+
+
+def dequantize(q: QArray, dtype=jnp.float32) -> jax.Array:
+    """Inverse of :func:`quantize` (quant_operators.cpp:50-66)."""
+    gs = q.group_size
+    shape = q.data.shape
+    g = q.data.reshape(*shape[:-1], shape[-1] // gs, gs).astype(dtype)
+    out = g * q.scales[..., None].astype(dtype)
+    return out.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# numpy versions (host-side, used by loaders/converter before device_put)
+# ---------------------------------------------------------------------------
+
+def quantize_np(x: np.ndarray, qtype: QuantType, group_size: int = 64
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host quantization; bit-identical to reference convert_flm.py:216-243."""
+    gs = group_size
+    _check(x.shape[-1], gs)
+    g = np.ascontiguousarray(x, dtype=np.float32).reshape(
+        *x.shape[:-1], x.shape[-1] // gs, gs)
+    scale = np.abs(g).max(axis=-1) / float(qtype.factor)
+    safe = np.where(scale > 0, scale, 1.0).astype(np.float32)
+    q = np.trunc(g / safe[..., None]).astype(_QDTYPE_NP[qtype])
+    return q.reshape(x.shape), scale.astype(np.float32)
+
+
+def dequantize_np(q: np.ndarray, scales: np.ndarray, group_size: int = 64
+                  ) -> np.ndarray:
+    gs = group_size
+    g = q.reshape(*q.shape[:-1], q.shape[-1] // gs, gs).astype(np.float32)
+    return (g * scales[..., None]).reshape(q.shape)
+
+
+def pack_int4_np(q: np.ndarray) -> np.ndarray:
+    """Pack int8-held int4 values (range [-8,7]) into the reference's
+    ``Bit4Pair`` layout: low nibble = even element, high nibble = odd element
+    (quant_operators.h:25-31, quant_operators.cpp:36-40)."""
+    assert q.shape[-1] % 2 == 0
+    lo = q[..., 0::2].astype(np.uint8) & 0x0F
+    hi = (q[..., 1::2].astype(np.uint8) & 0x0F) << 4
+    return (lo | hi).astype(np.uint8)
+
+
+def unpack_int4_np(packed: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`pack_int4_np`: two's-complement nibbles → int8."""
+    lo = (packed & 0x0F).astype(np.int8)
+    hi = ((packed >> 4) & 0x0F).astype(np.int8)
+    lo = np.where(lo >= 8, lo - 16, lo).astype(np.int8)
+    hi = np.where(hi >= 8, hi - 16, hi).astype(np.int8)
+    out = np.empty(packed.shape[:-1] + (packed.shape[-1] * 2,), dtype=np.int8)
+    out[..., 0::2] = lo
+    out[..., 1::2] = hi
+    return out
+
+
+def from_prequantized(data: np.ndarray, scales: np.ndarray, qtype: QuantType,
+                      group_size: int = 64, device_put=jnp.asarray) -> QArray:
+    """Wrap pre-quantized host arrays (e.g. read from an FLM file) as a QArray."""
+    return QArray(device_put(data), device_put(scales.astype(np.float32)),
+                  qtype, group_size)

@@ -1,0 +1,144 @@
+"""Command-line driver, flag-compatible with the reference CLI
+(``/root/reference/src/main.cpp:171-244``): -c/-z/-f/-i/-n/-t/-p/-q/-e/-d/
+--mode/--rounds/--seed/--detail/--debug.  TPU replaces the thread knobs: -j
+is accepted and ignored (parallelism comes from the device mesh; see
+--mesh), --numa/--uma are accepted no-ops.
+
+Benchmark mode runs N rounds and prints prompt/output token latency and
+tok/s like main.cpp:136-145.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from fastllama_tpu.config import EngineConfig, QuantType
+from fastllama_tpu.loaders.registry import FileType, load_model
+
+DEFAULT_PROMPT = (
+    "Long ago, in a quiet village between two great mountains, there lived a "
+    "curious young girl named Mira. Every morning she walked to the river to "
+    "watch the boats come in, wondering what lay beyond the water.")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fastllama-tpu", description=__doc__)
+    p.add_argument("-c", "--checkpoint", default="", help="model checkpoint path")
+    p.add_argument("-z", "--tokenizer", default="", help="tokenizer path (llama2c)")
+    p.add_argument("-f", "--file-type", default="",
+                   choices=["", "flm", "gguf", "llama2c", "hf"])
+    p.add_argument("-i", "--prompt", default="")
+    p.add_argument("-n", "--max-new-tokens", type=int, default=512)
+    p.add_argument("-t", "--temperature", type=float, default=1.0)
+    p.add_argument("-p", "--topp", type=float, default=0.9)
+    p.add_argument("-q", "--quant", default="int8",
+                   choices=["none", "int16", "int8", "int4"])
+    p.add_argument("-j", "--threads", type=int, default=-1,
+                   help="ignored (TPU mesh replaces the thread pool)")
+    p.add_argument("--numa", action="store_true", help="ignored on TPU")
+    p.add_argument("--uma", action="store_true", help="ignored on TPU")
+    p.add_argument("-m", "--mode", default="gen",
+                   choices=["gen", "generate", "chat", "benchmark", "bm"])
+    p.add_argument("--rounds", type=int, default=0)
+    p.add_argument("--seed", type=int, default=128391297)
+    p.add_argument("--max-seq-len", type=int, default=1024,
+                   help="context clamp (reference clamps to 1024)")
+    p.add_argument("--mesh", default="", help="mesh spec, e.g. 'model=8' or "
+                   "'data=2,model=4' (defaults to all devices on 'model')")
+    p.add_argument("--decode-chunk", type=int, default=32,
+                   help="tokens generated per device dispatch")
+    p.add_argument("--kv-dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--parity", action="store_true",
+                   help="bit-faithful reference math (slow)")
+    p.add_argument("--no-pallas", action="store_true",
+                   help="disable fused Pallas kernels")
+    p.add_argument("-e", "--encode", default="", help="encode text to tokens")
+    p.add_argument("-d", "--decode", default="", help="decode ids (comma-sep)")
+    p.add_argument("--detail", action="store_true")
+    p.add_argument("--debug", action="store_true")
+    return p
+
+
+def encode_decode(args) -> int:
+    """Tokenizer-only path (main.cpp:246-286)."""
+    m = load_model(args.checkpoint, args.tokenizer,
+                   FileType.parse(args.file_type), tokenizer_only=True)
+    if args.encode:
+        toks = m.tokenizer.encode(args.encode, add_bos=True)
+        print(f"tokens({len(toks)}): {toks}")
+    if args.decode:
+        ids = [int(x) for x in args.decode.replace(",", " ").split()]
+        print(f"text: {m.tokenizer.decode(ids)}")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.encode or args.decode:
+        return encode_decode(args)
+    if not args.checkpoint:
+        print("error: -c/--checkpoint is required", file=sys.stderr)
+        return 2
+
+    from fastllama_tpu.runtime.engine import Engine
+
+    bench = args.mode in ("benchmark", "bm")
+    rounds = args.rounds if args.rounds > 0 else (16 if bench else 1)
+    prompt = args.prompt or DEFAULT_PROMPT
+    qtype = QuantType.parse(args.quant)
+
+    ec = EngineConfig(max_seq_len=args.max_seq_len, kv_dtype=args.kv_dtype,
+                      use_pallas=not args.no_pallas, parity_mode=args.parity)
+    if args.detail or args.debug:
+        print(f"checkpoint: {args.checkpoint}\nquant: {qtype.name}\n"
+              f"temperature: {args.temperature}  top_p: {args.topp}",
+              file=sys.stderr)
+
+    t0 = time.perf_counter()
+    eng = Engine.load(args.checkpoint, args.tokenizer,
+                      FileType.parse(args.file_type), qtype, ec)
+    if args.detail or args.debug:
+        print(f"model loaded in {time.perf_counter()-t0:.1f}s "
+              f"({eng.config.name or 'unnamed'}: dim={eng.config.dim} "
+              f"layers={eng.config.n_layers} vocab={eng.config.vocab_size})",
+              file=sys.stderr)
+
+    agg = dict(ptok=0.0, otok=0.0, ps=0.0, ds=0.0)
+    for r in range(rounds):
+        if not bench:
+            print(f"prompt: {prompt}\noutput: ", end="", flush=True)
+
+        def cb(text, tok):
+            if not bench:
+                print(text, end="", flush=True)
+            return True
+
+        toks, st = eng.generate(prompt, args.max_new_tokens,
+                                args.temperature, args.topp,
+                                seed=args.seed + r, callback=cb,
+                                decode_chunk=args.decode_chunk)
+        if not bench:
+            print()
+        agg["ptok"] += st.prompt_tokens
+        agg["otok"] += st.output_tokens
+        agg["ps"] += st.prefill_s
+        agg["ds"] += st.decode_s
+
+    n = rounds
+    ptok, otok = agg["ptok"] / n, agg["otok"] / n
+    ps, ds = agg["ps"] / n, agg["ds"] / n
+    first_lat = ps / max(ptok, 1) * 1000
+    out_lat = ds / max(otok - 1, 1) * 1000
+    print(f"quant:{qtype.name}\tprompt_size:{ptok:.0f}\toutput_size:{otok:.0f}\t"
+          f"total_latency:{(ps+ds)*1000:.0f}ms\t"
+          f"prompt_token_latency:{first_lat:.2f}ms\t"
+          f"output_token_latency:{out_lat:.2f}ms\t"
+          f"prompt_speed:{1000/max(first_lat,1e-9):.1f}tps\t"
+          f"output_speed:{1000/max(out_lat,1e-9):.1f}tps")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

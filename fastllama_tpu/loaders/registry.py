@@ -1,0 +1,109 @@
+"""Checkpoint format detection + unified load path.
+
+The counterpart of ``TransformerModel::load`` + ``detect_file_type``
+(``/root/reference/src/model_loaders/model_loader.cpp:40-85``): sniff the
+magic, dispatch to a format loader, then normalize everything into device
+params:
+
+1. deinterleave Wq/Wk rows for formats in the Meta/interleaved RoPE
+   convention (llama2c/FLM/GGUF) — see ops/rope.py,
+2. quantize fp32 projections on load to the engine's quant type
+   (llama2c_loader.cpp:117-124 semantics), or keep pre-quantized data,
+3. stack per-layer tensors and device_put as a LlamaParams pytree
+   (optionally with GSPMD shardings from parallel/sharding.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from fastllama_tpu.config import ModelConfig, QuantType
+from fastllama_tpu.loaders import flm, gguf, hf, llama2c
+from fastllama_tpu.loaders.tokenizer import Tokenizer
+from fastllama_tpu.models.llama import LlamaParams, build_params
+from fastllama_tpu.ops.rope import deinterleave_heads, deinterleave_perm
+
+
+class FileType(enum.Enum):
+    UNKNOWN = 0
+    FLM = 1
+    GGUF = 2
+    LLAMA2C = 3
+    HF = 4
+
+    @staticmethod
+    def parse(name: str) -> "FileType":
+        return {"flm": FileType.FLM, "gguf": FileType.GGUF,
+                "llama2c": FileType.LLAMA2C, "hf": FileType.HF,
+                "": FileType.UNKNOWN, "unknown": FileType.UNKNOWN}[name.lower()]
+
+
+# formats whose Wq/Wk rows follow the Meta interleaved-pair RoPE convention
+_INTERLEAVED = {FileType.FLM, FileType.GGUF, FileType.LLAMA2C}
+
+
+def detect_file_type(path: str) -> FileType:
+    """Magic-number sniffing (model_loader.cpp:40-66)."""
+    if hf.is_hf_dir(path):
+        return FileType.HF
+    if flm.is_flm(path):
+        return FileType.FLM
+    if gguf.is_gguf(path):
+        return FileType.GGUF
+    if llama2c.is_llama2c(path):
+        return FileType.LLAMA2C
+    return FileType.UNKNOWN
+
+
+@dataclasses.dataclass
+class LoadedModel:
+    config: ModelConfig
+    weights: dict            # numpy: fp32 arrays or (data, scales) tuples
+    tokenizer: Tokenizer
+    file_type: FileType
+
+    def build(self, qtype: Optional[QuantType] = None,
+              device_put=None) -> LlamaParams:
+        kw = {} if device_put is None else {"device_put": device_put}
+        return build_params(self.config, self.weights, qtype, **kw)
+
+
+def _deinterleave(weights: dict, head_size: int) -> None:
+    """Convert Wq/Wk rows to the half layout.  Quant groups ride along the
+    input axis, so the same row (axis -2) permutation applies to per-row
+    scale arrays unchanged."""
+    for key in ("wq", "wk"):
+        v = weights.get(key)
+        if v is None:
+            continue
+        if isinstance(v, tuple):
+            data, scales = v
+            weights[key] = (deinterleave_heads(data, head_size),
+                            deinterleave_heads(scales, head_size))
+        else:
+            weights[key] = deinterleave_heads(v, head_size)
+
+
+def load_model(path: str, tokenizer_path: str = "",
+               file_type: FileType = FileType.UNKNOWN,
+               tokenizer_only: bool = False) -> LoadedModel:
+    ft = file_type if file_type != FileType.UNKNOWN else detect_file_type(path)
+    if ft == FileType.UNKNOWN:
+        raise ValueError(f"cannot detect checkpoint format of {path}")
+    if ft == FileType.FLM:
+        cfg, weights, tok = flm.load_flm(path, tokenizer_only)
+    elif ft == FileType.GGUF:
+        cfg, weights, tok = gguf.load_gguf(path, tokenizer_only)
+    elif ft == FileType.LLAMA2C:
+        cfg, weights, tok = llama2c.load_llama2c(path, tokenizer_path,
+                                                 tokenizer_only)
+    else:
+        cfg, weights, tok = hf.load_hf(path, tokenizer_only)
+
+    if weights and ft in _INTERLEAVED:
+        _deinterleave(weights, cfg.head_size)
+    return LoadedModel(cfg, weights, tok, ft)

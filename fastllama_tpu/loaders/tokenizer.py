@@ -1,0 +1,196 @@
+"""SPM/BPE tokenizer with the reference's exact encode/decode semantics.
+
+Re-implements ``cpuft::Tokenizer`` (``/root/reference/src/transformer/
+tokenizer.{h,cpp}``):
+
+* encode (tokenizer.cpp:247-327): optional BOS; UTF-8 chunking of the input
+  (single codepoints looked up whole); unknown chunks fall back to byte
+  tokens at ``byte+3``; a lone space maps to the "▁" token; then a greedy
+  merge loop that repeatedly joins the adjacent pair whose concatenation
+  exists in the vocab with the highest score.
+* decode (tokenizer.cpp:329-398): show-text with "▁"→" ", leading-space strip
+  after BOS, ``<0xXX>`` byte pieces, unsafe single-byte filter.
+
+A C++ fast path for the merge loop lives in csrc/ (ctypes-loaded); this file
+is the always-available pure-Python implementation and the golden reference
+for it.
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+CONN_TAG = "▁"  # ▁
+
+
+class VocabType:
+    NONE = 0
+    BPE = 1
+    SPM = 2
+
+
+class TokenType:
+    UNKNOWN = 0
+    NORMAL = 1
+    CONTROL = 2
+    BYTE = 3
+    USER_DEFINED = 4
+    UNUSED = 5
+
+
+@dataclass
+class Tokenizer:
+    vocab_type: int = VocabType.BPE
+    index_texts: List[str] = field(default_factory=list)
+    show_texts: List[str] = field(default_factory=list)
+    scores: List[float] = field(default_factory=list)
+    types: List[int] = field(default_factory=list)
+    bos_token_id: int = 1       # tokenizer.h:142 default
+    eos_token_id: int = 2
+    pad_token_id: int = -1
+    conn_tag: str = CONN_TAG
+    _text2id: Dict[str, int] = field(default_factory=dict, repr=False)
+    _underline_id: int = -1
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.index_texts)
+
+    # -- construction -------------------------------------------------------
+
+    def finalize(self) -> "Tokenizer":
+        """Build lookup structures (build_text2id_map, tokenizer.cpp:142-160)
+        and show-texts (set_token_texts, tokenizer.cpp:106-116)."""
+        if not self.show_texts:
+            self.show_texts = [
+                " " + t[len(self.conn_tag):] if t.startswith(self.conn_tag) else t
+                for t in self.index_texts]
+        if not self.scores:
+            self.scores = [0.0] * self.vocab_size
+        if not self.types:
+            self.types = [TokenType.NORMAL] * self.vocab_size
+        self._text2id = {}
+        for i, t in enumerate(self.index_texts):
+            self._text2id[t] = i
+        # C++ inserts in order and operator[] overwrites, so LAST duplicate
+        # wins — match dict semantics above (same behaviour).
+        self._underline_id = self._text2id.get(self.conn_tag, -1)
+        return self
+
+    @staticmethod
+    def from_llama2c_bin(path: str, vocab_size: int) -> "Tokenizer":
+        """Karpathy llama2.c ``tokenizer.bin``: i32 max_token_length then
+        vocab_size x (f32 score, i32 len, bytes) (tokenizer.cpp:162-234)."""
+        tk = Tokenizer(vocab_type=VocabType.BPE)
+        with open(path, "rb") as f:
+            struct.unpack("<i", f.read(4))  # max_token_length, unused here
+            for _ in range(vocab_size):
+                (score,) = struct.unpack("<f", f.read(4))
+                (ln,) = struct.unpack("<i", f.read(4))
+                text = f.read(ln).decode("utf-8", errors="replace")
+                tk.index_texts.append(text)
+                tk.scores.append(score)
+        # llama2.c stores pieces with raw leading spaces, not ▁: show = index
+        tk.show_texts = list(tk.index_texts)
+        return tk.finalize()
+
+    # -- encode -------------------------------------------------------------
+
+    def _search_text(self, text: str) -> int:
+        # tokenizer.cpp:236-245: a lone space resolves to the ▁ token
+        if text == " " and self._underline_id >= 0:
+            return self._underline_id
+        return self._text2id.get(text, -1)
+
+    def encode(self, text: str, add_bos: bool = True, add_eos: bool = False
+               ) -> List[int]:
+        if not text:
+            return []
+        tokens: List[int] = []
+        if add_bos:
+            tokens.append(self.bos_token_id)
+
+        # UTF-8 chunking with byte fallback (+3) — tokenizer.cpp:272-294
+        raw = text.encode("utf-8")
+        i = 0
+        while i < len(raw):
+            n = 1
+            # gather continuation bytes, up to 4 total (slen < 4 guard)
+            while i + n < len(raw) and (raw[i + n] & 0xC0) == 0x80 and n < 4:
+                n += 1
+            chunk = raw[i:i + n]
+            tid = self._search_text(chunk.decode("utf-8", errors="replace"))
+            if tid >= 0:
+                tokens.append(tid)
+            else:
+                tokens.extend(b + 3 for b in chunk)
+            i += n
+
+        # greedy highest-score merge — tokenizer.cpp:296-320
+        while True:
+            best_score, best_id, best_idx = -1e10, -1, -1
+            for j in range(len(tokens) - 1):
+                merged = self.index_texts[tokens[j]] + self.index_texts[tokens[j + 1]]
+                tid = self._search_text(merged)
+                if tid != -1 and self.scores[tid] > best_score:
+                    best_score, best_id, best_idx = self.scores[tid], tid, j
+            if best_idx == -1:
+                break
+            tokens[best_idx:best_idx + 2] = [best_id]
+
+        if add_eos:
+            tokens.append(self.eos_token_id)
+        return tokens
+
+    # -- decode -------------------------------------------------------------
+
+    @staticmethod
+    def _is_safe_piece(piece: str) -> bool:
+        # tokenizer.cpp:387-398: filter lone non-printable raw bytes
+        if not piece:
+            return False
+        if len(piece) == 1:
+            o = ord(piece)
+            if o > 255:
+                return True
+            return piece.isprintable() or piece.isspace()
+        return True
+
+    def decode_one(self, token: int, prev_token: int = -1) -> str:
+        if token < 0 or token >= self.vocab_size:
+            return ""
+        piece = self.show_texts[token]
+        if prev_token == self.bos_token_id and piece.startswith(" "):
+            piece = piece[1:]
+        if len(piece) == 6 and piece.startswith("<0x") and piece.endswith(">"):
+            try:
+                piece = chr(int(piece[3:5], 16))
+            except ValueError:
+                pass
+        return piece if self._is_safe_piece(piece) else ""
+
+    def decode(self, tokens: Sequence[int]) -> str:
+        out = []
+        prev = -1
+        for t in tokens:
+            out.append(self.decode_one(t, prev))
+            prev = t
+        return "".join(out)
+
+
+def build_byte_fallback_vocab(extra: Optional[List[str]] = None) -> Tokenizer:
+    """Tiny synthetic vocab for tests: BOS/EOS/UNK + 256 byte tokens (+3
+    offset, mirroring the llama byte-fallback layout) + optional merge
+    entries."""
+    tk = Tokenizer()
+    tk.index_texts = ["<unk>", "<s>", "</s>"] + [f"<0x{b:02X}>" for b in range(256)]
+    tk.scores = [0.0] * len(tk.index_texts)
+    tk.types = ([TokenType.UNKNOWN, TokenType.CONTROL, TokenType.CONTROL]
+                + [TokenType.BYTE] * 256)
+    if extra:
+        for j, piece in enumerate(extra):
+            tk.index_texts.append(piece)
+            tk.scores.append(float(j + 1))
+            tk.types.append(TokenType.NORMAL)
+    return tk.finalize()

@@ -1,0 +1,247 @@
+"""Inference engine: the TPU-native ``ParallelTransformer``.
+
+Orchestration counterpart of the reference's runtime
+(``/root/reference/src/transformer/transformer.{h,cpp}``):
+
+* ``load`` = checkpoint -> device params (+ optional GSPMD shardings) —
+  replacing per-thread weight sharding (transformer.cpp:253-384),
+* ``generate`` = prefill the whole prompt in one forward then step
+  (transformer.cpp:76-103), with the reference's max_seq_len clamp
+  (transformer.cpp:32) and stop-on-token-0 semantics (transformer.cpp:93),
+* zero allocation per token: static shapes, bucketed prefill, donated KV
+  cache (the jit analogue of the SequentialAllocator arenas).
+
+TPU-specific design: decoding runs in **chunks of K tokens per device
+call** — a ``lax.scan`` over the fused step with on-device sampling — so
+host<->device dispatch latency (1-2s through the axon tunnel, ~10-100us on a
+local runtime) is amortized across K tokens instead of paid per token.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastllama_tpu.config import EngineConfig, ModelConfig, QuantType
+from fastllama_tpu.loaders.registry import FileType, LoadedModel, load_model
+from fastllama_tpu.loaders.tokenizer import Tokenizer
+from fastllama_tpu.models.llama import (KVCache, LlamaParams, forward,
+                                        logits_at)
+from fastllama_tpu.ops.qmatmul import qmatmul, qmatmul_parity
+from fastllama_tpu.ops import sampling
+from fastllama_tpu.runtime.sampler import HostSampler
+
+DEFAULT_DECODE_CHUNK = 32
+
+
+@dataclasses.dataclass
+class GenerationStats:
+    prompt_tokens: int = 0
+    output_tokens: int = 0
+    prefill_s: float = 0.0
+    decode_s: float = 0.0
+
+    @property
+    def prefill_tps(self) -> float:
+        return self.prompt_tokens / self.prefill_s if self.prefill_s else 0.0
+
+    @property
+    def decode_tps(self) -> float:
+        return self.output_tokens / self.decode_s if self.decode_s else 0.0
+
+
+class Engine:
+    def __init__(self, config: ModelConfig, params: LlamaParams,
+                 tokenizer: Tokenizer,
+                 engine_config: Optional[EngineConfig] = None):
+        ec = engine_config or EngineConfig()
+        if ec.max_seq_len:
+            config = config.replace(max_seq_len=min(config.max_seq_len,
+                                                    ec.max_seq_len))
+        config.validate()
+        self.config = config
+        self.params = params
+        self.tokenizer = tokenizer
+        self.ec = ec
+        self.kv_dtype = jnp.dtype(ec.kv_dtype)
+        self._mm = qmatmul_parity if ec.parity_mode else qmatmul
+        self._prefill_fns = {}
+        self._decode_fns = {}
+        self._step_fn = None
+
+    # -- loading -----------------------------------------------------------
+
+    @staticmethod
+    def load(ckpt_path: str, tokenizer_path: str = "",
+             file_type: FileType = FileType.UNKNOWN,
+             qtype: Optional[QuantType] = None,
+             engine_config: Optional[EngineConfig] = None,
+             device_put=None) -> "Engine":
+        m = load_model(ckpt_path, tokenizer_path, file_type)
+        cfg = m.config
+        if qtype is not None and cfg.quant_type == QuantType.NONE:
+            cfg = cfg.replace(quant_type=qtype)
+        elif m.file_type in (FileType.FLM, FileType.GGUF) \
+                and cfg.quant_type != QuantType.NONE:
+            qtype = cfg.quant_type  # pre-quantized file wins (transformer.cpp:36-38)
+        params = m.build(qtype, device_put=device_put)
+        return Engine(cfg, params, m.tokenizer, engine_config)
+
+    # -- compiled steps ----------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self.ec.prefill_buckets:
+            if b >= n and b <= self.config.max_seq_len:
+                return b
+        return self.config.max_seq_len
+
+    def _get_prefill(self, bucket: int):
+        if bucket not in self._prefill_fns:
+            cfg, mm = self.config, self._mm
+
+            def f(params, tokens, cache, length):
+                lg, cache = forward(cfg, params, tokens, 0, cache, mm=mm)
+                return logits_at(lg, length), cache
+
+            self._prefill_fns[bucket] = jax.jit(f, donate_argnums=(2,))
+        return self._prefill_fns[bucket]
+
+    def _get_decode_chunk(self, n_steps: int, temperature: float, topp: float):
+        key_ = (n_steps, temperature, topp)
+        if key_ not in self._decode_fns:
+            cfg, mm = self.config, self._mm
+
+            def chunk(params, cache, token, pos0, rng):
+                def body(carry, _):
+                    tok, pos, cache, rng = carry
+                    lg, cache = forward(cfg, params, tok[None], pos, cache,
+                                        mm=mm)
+                    rng, sub = jax.random.split(rng)
+                    nxt = sampling.sample(lg[0], sub, temperature, topp)
+                    return (nxt, pos + 1, cache, rng), nxt
+
+                (tok, pos, cache, rng), toks = jax.lax.scan(
+                    body, (token, pos0, cache, rng), length=n_steps)
+                return toks, cache, rng
+
+            self._decode_fns[key_] = jax.jit(chunk, donate_argnums=(1,))
+        return self._decode_fns[key_]
+
+    def _get_step(self):
+        """Single forward step returning full logits (parity/host-sampling)."""
+        if self._step_fn is None:
+            cfg, mm = self.config, self._mm
+
+            def f(params, tokens, pos, cache):
+                return forward(cfg, params, tokens, pos, cache, mm=mm)
+
+            self._step_fn = jax.jit(f, donate_argnums=(3,))
+        return self._step_fn
+
+    def new_cache(self) -> KVCache:
+        return KVCache.create(self.config, dtype=self.kv_dtype)
+
+    # -- generation --------------------------------------------------------
+
+    def encode(self, prompt: str) -> List[int]:
+        return self.tokenizer.encode(prompt, add_bos=True)
+
+    def generate(self, prompt, max_new_tokens: int = 512,
+                 temperature: float = 0.0, topp: float = 0.9,
+                 seed: int = 128391297,
+                 stop_tokens: Optional[Sequence[int]] = None,
+                 callback: Optional[Callable[[str, int], bool]] = None,
+                 decode_chunk: int = DEFAULT_DECODE_CHUNK,
+                 host_sampling: bool = False,
+                 ) -> Tuple[List[int], GenerationStats]:
+        """Greedy/temperature/top-p generation.  Returns generated token ids
+        (prompt excluded) and timing stats.  ``callback(text, token)`` is
+        invoked per decoded token; returning False stops generation."""
+        cfg = self.config
+        tokens = self.encode(prompt) if isinstance(prompt, str) else list(prompt)
+        if not tokens:
+            raise ValueError("empty prompt")
+        if len(tokens) >= cfg.max_seq_len:
+            raise ValueError(f"prompt too long: {len(tokens)} >= {cfg.max_seq_len}")
+        max_new_tokens = min(max_new_tokens, cfg.max_seq_len - len(tokens))
+        if stop_tokens is None:
+            # reference stops only on token 0 (transformer.cpp:93); we add EOS
+            stop_tokens = (0, self.tokenizer.eos_token_id)
+        stop_set = set(int(t) for t in stop_tokens)
+        stats = GenerationStats(prompt_tokens=len(tokens))
+
+        # prefill (whole prompt in one padded forward)
+        bucket = self._bucket(len(tokens))
+        padded = np.zeros(bucket, np.int32)
+        padded[:len(tokens)] = tokens
+        t0 = time.perf_counter()
+        cache = self.new_cache()
+        last_logits, cache = self._get_prefill(bucket)(
+            self.params, jnp.asarray(padded), cache, len(tokens))
+        pos = len(tokens)
+        prev_token = tokens[-1]
+
+        out: List[int] = []
+        host = HostSampler(cfg.vocab_size, seed) if host_sampling else None
+
+        def emit(tok: int) -> bool:
+            nonlocal prev_token
+            out.append(tok)
+            ok = True
+            if callback is not None:
+                text = self.tokenizer.decode_one(tok, prev_token)
+                ok = callback(text, tok) is not False
+            prev_token = tok
+            return ok
+
+        if host_sampling:
+            first = host.sample(np.asarray(last_logits), temperature, topp)
+        else:
+            rng = jax.random.PRNGKey(seed)
+            rng, sub = jax.random.split(rng)
+            first = int(sampling.sample(last_logits, sub, temperature, topp))
+        stats.prefill_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        if not emit(first) or first in stop_set:
+            stats.output_tokens = len(out)
+            stats.decode_s = time.perf_counter() - t0
+            return out, stats
+
+        tok = jnp.asarray(first, jnp.int32)
+        if host_sampling:
+            step = self._get_step()
+            while len(out) < max_new_tokens:
+                lg, cache = step(self.params, tok[None], pos, cache)
+                pos += 1
+                nxt = host.sample(np.asarray(lg[0]), temperature, topp)
+                if not emit(nxt) or nxt in stop_set:
+                    break
+                tok = jnp.asarray(nxt, jnp.int32)
+        else:
+            while len(out) < max_new_tokens:
+                n = min(decode_chunk, max_new_tokens - len(out))
+                fn = self._get_decode_chunk(n, temperature, topp)
+                toks, cache, rng = fn(self.params, cache, tok, pos, rng)
+                toks_np = np.asarray(toks)
+                stop = False
+                for t in toks_np.tolist():
+                    pos += 1
+                    if not emit(int(t)) or int(t) in stop_set:
+                        stop = True
+                        break
+                if stop:
+                    break
+                tok = jnp.asarray(toks_np[-1], jnp.int32)
+        stats.output_tokens = len(out)
+        stats.decode_s = time.perf_counter() - t0
+        return out, stats
+
+    def generate_text(self, prompt: str, **kw) -> str:
+        toks, _ = self.generate(prompt, **kw)
+        return self.tokenizer.decode(toks)

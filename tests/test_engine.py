@@ -1,0 +1,121 @@
+"""Engine-level tests: generate loop, chunked decode consistency, stop
+tokens, host-sampling parity RNG, CLI."""
+import numpy as np
+import pytest
+
+from fastllama_tpu.config import EngineConfig, QuantType
+from fastllama_tpu.loaders.registry import FileType
+from fastllama_tpu.runtime.engine import Engine
+from fastllama_tpu.runtime.sampler import HostSampler, XorshiftRng
+from fastllama_tpu.tools.synthetic import TINY, write_tiny_llama2c
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    d = tmp_path_factory.mktemp("engine_ckpt")
+    ckpt, tokp = write_tiny_llama2c(str(d))
+    return Engine.load(ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+                       EngineConfig(max_seq_len=64))
+
+
+def test_generate_greedy(engine):
+    toks, st = engine.generate("the cat", max_new_tokens=12, temperature=0.0)
+    assert 0 < len(toks) <= 12
+    assert st.prompt_tokens >= 2
+    assert st.output_tokens == len(toks)
+
+
+def test_chunked_equals_stepwise(engine):
+    """decode_chunk=1 and decode_chunk=8 must produce identical greedy text."""
+    t1, _ = engine.generate("the dog", max_new_tokens=10, temperature=0.0,
+                            decode_chunk=1, stop_tokens=())
+    t8, _ = engine.generate("the dog", max_new_tokens=10, temperature=0.0,
+                            decode_chunk=8, stop_tokens=())
+    assert t1 == t8
+
+
+def test_host_sampling_greedy_matches_device(engine):
+    td, _ = engine.generate("the boy", max_new_tokens=8, temperature=0.0,
+                            stop_tokens=())
+    th, _ = engine.generate("the boy", max_new_tokens=8, temperature=0.0,
+                            host_sampling=True, stop_tokens=())
+    assert td == th
+
+
+def test_stop_token(engine):
+    toks, _ = engine.generate("the cat", max_new_tokens=20, temperature=0.0,
+                              stop_tokens=())
+    assert len(toks) == 20
+    stop = toks[4]
+    toks2, _ = engine.generate("the cat", max_new_tokens=20, temperature=0.0,
+                               stop_tokens=(stop,))
+    assert toks2 == toks[:toks.index(stop) + 1]
+
+
+def test_callback_stream_and_cancel(engine):
+    seen = []
+
+    def cb(text, tok):
+        seen.append(tok)
+        return len(seen) < 3
+
+    toks, _ = engine.generate("the cat", max_new_tokens=20, temperature=0.0,
+                              callback=cb, stop_tokens=())
+    assert len(toks) == 3 and seen == toks
+
+
+def test_prompt_too_long(engine):
+    with pytest.raises(ValueError):
+        engine.generate(list(range(1, 70)), max_new_tokens=4)
+
+
+def test_temperature_sampling_runs(engine):
+    toks, _ = engine.generate("the cat", max_new_tokens=8, temperature=0.8,
+                              topp=0.9, seed=7, stop_tokens=())
+    assert len(toks) == 8
+
+
+def test_xorshift_matches_cpp_constants():
+    # first values of xorshift64* from a known seed, computed independently
+    rng = XorshiftRng(128391297)
+    vals = [rng.random_u32() for _ in range(3)]
+    # recompute by hand (same algorithm, fresh instance)
+    s = 128391297
+    M = (1 << 64) - 1
+    out = []
+    for _ in range(3):
+        s ^= s >> 12
+        s = (s ^ (s << 25)) & M
+        s ^= s >> 27
+        out.append(((s * 0x2545F4914F6CDD1D) & M) >> 32)
+    assert vals == out
+    f = XorshiftRng(1).random_f32()
+    assert 0.0 <= f < 1.0
+
+
+def test_host_topp_sampler():
+    hs = HostSampler(10, seed=42)
+    probs_logits = np.array([0.0] * 10, np.float32)
+    probs_logits[3] = 10.0  # dominant
+    for _ in range(5):
+        assert hs.sample(probs_logits, temperature=0.7, topp=0.5) == 3
+
+
+def test_cli_encode_decode(tmp_path, capsys):
+    from fastllama_tpu.cli import main
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path))
+    rc = main(["-c", ckpt, "-z", tokp, "-f", "llama2c", "-e", "the cat"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "tokens(" in out
+
+
+def test_cli_generate(tmp_path, capsys):
+    from fastllama_tpu.cli import main
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path))
+    rc = main(["-c", ckpt, "-z", tokp, "-f", "llama2c", "-i", "the cat",
+               "-n", "6", "-t", "0", "--max-seq-len", "64",
+               "--mode", "benchmark", "--rounds", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "output_speed" in out

@@ -1,0 +1,95 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Measures steady-state greedy decode throughput of LLaMA2-7B-architecture
+INT8 on the available TPU chip(s), with synthetic on-device weights (no
+checkpoint download; generation is pure int8 on device so no fp32 memory
+spike).  Baseline: the reference C++ engine's LLaMA2-7B INT8 headline of
+~25 tok/s on a 56-core Xeon (reference README.md:6; BASELINE.md).
+
+Env knobs: BENCH_CONFIG=7b|1b|110m (default 7b), BENCH_TOKENS (default 96),
+BENCH_CHUNK (default 32), BENCH_PROMPT (default 43 tokens, the reference's
+benchmark prompt length).
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+
+# persistent compile cache: the axon-tunnel compiles are slow (minutes for
+# 32-layer programs); cached reruns are near-instant
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+from fastllama_tpu.config import EngineConfig, ModelConfig, QuantType
+from fastllama_tpu.models.llama import random_params_int
+from fastllama_tpu.runtime.engine import Engine
+from fastllama_tpu.loaders.tokenizer import Tokenizer
+
+CONFIGS = {
+    # LLaMA2-7B architecture (the reference's headline config)
+    "7b": ModelConfig(dim=4096, hidden_dim=11008, n_layers=32, n_heads=32,
+                      n_kv_heads=32, vocab_size=32000, max_seq_len=1024,
+                      quant_type=QuantType.INT8, name="llama2-7b-synthetic"),
+    # TinyLlama-1.1B-class
+    "1b": ModelConfig(dim=2048, hidden_dim=5632, n_layers=22, n_heads=32,
+                      n_kv_heads=4, vocab_size=32000, max_seq_len=1024,
+                      quant_type=QuantType.INT8, name="tinyllama-1b-synthetic"),
+    # stories110M architecture
+    "110m": ModelConfig(dim=768, hidden_dim=2048, n_layers=12, n_heads=12,
+                        n_kv_heads=12, vocab_size=32000, max_seq_len=1024,
+                        quant_type=QuantType.INT8, name="stories110m-synthetic"),
+}
+
+BASELINE_TPS = {"7b": 25.0, "1b": 155.0, "110m": 440.0}  # reference README.md:98-100
+
+
+def main():
+    name = os.environ.get("BENCH_CONFIG", "7b")
+    n_tokens = int(os.environ.get("BENCH_TOKENS", "128"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "64"))
+    prompt_len = int(os.environ.get("BENCH_PROMPT", "43"))
+    cfg = CONFIGS[name]
+
+    t0 = time.perf_counter()
+    params = random_params_int(cfg, seed=0)
+    jax.block_until_ready(params.wq.data)
+    print(f"# params materialized in {time.perf_counter()-t0:.1f}s "
+          f"on {jax.devices()[0]}", file=sys.stderr)
+
+    eng = Engine(cfg, params, Tokenizer().finalize(),
+                 EngineConfig(max_seq_len=1024, kv_dtype="bfloat16"))
+    prompt = list(range(1, prompt_len + 1))
+
+    # warmup: compiles prefill + decode chunk and pays the tunnel's
+    # first-execution overhead on every executable
+    t0 = time.perf_counter()
+    eng.generate(prompt, max_new_tokens=n_tokens, temperature=0.0,
+                 stop_tokens=(), decode_chunk=chunk)
+    print(f"# warmup (compile) {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    # timed run
+    toks, st = eng.generate(prompt, max_new_tokens=n_tokens, temperature=0.0,
+                            stop_tokens=(), decode_chunk=chunk)
+    assert len(toks) == n_tokens
+    tps = st.decode_tps
+    prefill_tps = st.prefill_tps
+    print(f"# decode {tps:.1f} tok/s, prefill {prefill_tps:.1f} tok/s "
+          f"(prompt={st.prompt_tokens}, out={st.output_tokens})",
+          file=sys.stderr)
+
+    baseline = BASELINE_TPS[name]
+    print(json.dumps({
+        "metric": f"decode_tok_s_{name}_int8_1chip",
+        "value": round(tps, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tps / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

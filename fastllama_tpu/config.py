@@ -106,7 +106,9 @@ class EngineConfig:
     max_batch_size: int = 1             # decode batch slots
     prefill_buckets: tuple = (32, 64, 128, 256, 512, 1024)
     kv_dtype: str = "float32"           # reference keeps fp32 KV (transformer.cpp:368)
-    compute_dtype: str = "float32"
+    # bf16 activations/matmuls by default: weight int8 values (<=127) are
+    # exact in bf16 and the MXU runs native-speed; parity tests pin float32.
+    compute_dtype: str = "bfloat16"
     use_pallas: bool = True             # fused kernels on TPU; jnp fallback otherwise
     parity_mode: bool = False           # bit-faithful reference math (act-quant int dot)
     donate_cache: bool = True

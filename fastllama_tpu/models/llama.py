@@ -173,6 +173,48 @@ def build_params(cfg: ModelConfig, raw: dict, qtype: Optional[QuantType] = None,
     return LlamaParams(**out)
 
 
+def random_params_int(cfg: ModelConfig, seed: int = 0,
+                      qtype: Optional[QuantType] = None,
+                      scale: float = 0.02) -> LlamaParams:
+    """Random quantized params generated directly as integers on device —
+    no fp32 intermediate, so multi-GB models (7B+) can be materialized for
+    benchmarking without host transfers or 4x memory spikes."""
+    qtype = qtype if qtype is not None else cfg.quant_type
+    if qtype == QuantType.NONE:
+        return random_params(cfg, seed, qtype, scale)
+    qmax = qtype.factor
+    from fastllama_tpu.quant.groupquant import _QDTYPE
+    dt = _QDTYPE[qtype]
+    L, D, H, V = cfg.n_layers, cfg.dim, cfg.hidden_dim, cfg.vocab_size
+    kd, nh, hs = cfg.kv_dim, cfg.n_heads, cfg.head_size
+    gs = cfg.group_size
+    shapes = dict(
+        embedding=(V, D), wq=(L, nh * hs, D), wk=(L, kd, D), wv=(L, kd, D),
+        wo=(L, D, nh * hs), w1=(L, H, D), w2=(L, D, H), w3=(L, H, D),
+        classifier=(V, D),
+    )
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(shapes))
+    out = dict(
+        attn_norm=jnp.ones((L, D), jnp.float32),
+        ffn_norm=jnp.ones((L, D), jnp.float32),
+        out_norm=jnp.ones((D,), jnp.float32),
+    )
+    sval = scale / qmax
+
+    @jax.jit
+    def gen_all(keys):
+        res = {}
+        for key, (name, shape) in zip(keys, shapes.items()):
+            data = jax.random.randint(key, shape, -qmax, qmax + 1,
+                                      jnp.int32).astype(dt)
+            scales = jnp.full((*shape[:-1], shape[-1] // gs), sval, jnp.float32)
+            res[name] = QArray(data, scales, qtype, gs)
+        return res
+
+    out.update(gen_all(keys))
+    return LlamaParams(**out)
+
+
 def random_params(cfg: ModelConfig, seed: int = 0,
                   qtype: Optional[QuantType] = None,
                   scale: float = 0.02) -> LlamaParams:

@@ -69,7 +69,11 @@ class Engine:
         self.tokenizer = tokenizer
         self.ec = ec
         self.kv_dtype = jnp.dtype(ec.kv_dtype)
-        self._mm = qmatmul_parity if ec.parity_mode else qmatmul
+        self._cdt = jnp.dtype(jnp.float32 if ec.parity_mode else ec.compute_dtype)
+        if ec.parity_mode:
+            self._mm = qmatmul_parity
+        else:
+            self._mm = partial(qmatmul, compute_dtype=self._cdt)
         self._prefill_fns = {}
         self._decode_fns = {}
         self._step_fn = None
@@ -104,8 +108,11 @@ class Engine:
         if bucket not in self._prefill_fns:
             cfg, mm = self.config, self._mm
 
+            cdt = self._cdt
+
             def f(params, tokens, cache, length):
-                lg, cache = forward(cfg, params, tokens, 0, cache, mm=mm)
+                lg, cache = forward(cfg, params, tokens, 0, cache, mm=mm,
+                                    compute_dtype=cdt)
                 return logits_at(lg, length), cache
 
             self._prefill_fns[bucket] = jax.jit(f, donate_argnums=(2,))
@@ -116,11 +123,13 @@ class Engine:
         if key_ not in self._decode_fns:
             cfg, mm = self.config, self._mm
 
+            cdt = self._cdt
+
             def chunk(params, cache, token, pos0, rng):
                 def body(carry, _):
                     tok, pos, cache, rng = carry
                     lg, cache = forward(cfg, params, tok[None], pos, cache,
-                                        mm=mm)
+                                        mm=mm, compute_dtype=cdt)
                     rng, sub = jax.random.split(rng)
                     nxt = sampling.sample(lg[0], sub, temperature, topp)
                     return (nxt, pos + 1, cache, rng), nxt
@@ -137,8 +146,11 @@ class Engine:
         if self._step_fn is None:
             cfg, mm = self.config, self._mm
 
+            cdt = self._cdt
+
             def f(params, tokens, pos, cache):
-                return forward(cfg, params, tokens, pos, cache, mm=mm)
+                return forward(cfg, params, tokens, pos, cache, mm=mm,
+                               compute_dtype=cdt)
 
             self._step_fn = jax.jit(f, donate_argnums=(3,))
         return self._step_fn

@@ -1,0 +1,113 @@
+"""GSPMD sharding tests on the 8-device virtual CPU mesh (SURVEY §4):
+TP-sharded forward must equal single-device forward; dryrun entry must run."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastllama_tpu.config import ModelConfig, QuantType
+from fastllama_tpu.models.llama import KVCache, forward, random_params
+from fastllama_tpu.parallel.sharding import (cache_sharding, make_mesh,
+                                             pad_hidden_for_sharding,
+                                             param_shardings, shard_cache,
+                                             shard_params)
+
+CFG = ModelConfig(dim=128, hidden_dim=256 * 4, n_layers=2, n_heads=8,
+                  n_kv_heads=4, vocab_size=512, max_seq_len=32,
+                  quant_type=QuantType.INT8)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    return make_mesh("data=1,model=4", jax.devices()[:4])
+
+
+def test_tp_forward_matches_single_device(mesh):
+    cfg = CFG
+    params = random_params(cfg, seed=3)
+    tokens = jnp.asarray([3, 9, 100, 17], jnp.int32)
+
+    ref, _ = jax.jit(lambda p, t, c: forward(cfg, p, t, 0, c))(
+        params, tokens, KVCache.create(cfg))
+
+    sp = shard_params(cfg, mesh, params)
+    sc = shard_cache(cfg, mesh, KVCache.create(cfg))
+    got, new_cache = jax.jit(lambda p, t, c: forward(cfg, p, t, 0, c))(
+        sp, tokens, sc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # sharded decode step after sharded prefill
+    nxt_ref, _ = jax.jit(lambda p, t, c: forward(cfg, p, t, 4, c))(
+        params, jnp.asarray([7], jnp.int32), _prefill_cache(cfg, params, tokens))
+    nxt, _ = jax.jit(lambda p, t, c: forward(cfg, p, t, 4, c))(
+        sp, jnp.asarray([7], jnp.int32), new_cache)
+    np.testing.assert_allclose(np.asarray(nxt), np.asarray(nxt_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def _prefill_cache(cfg, params, tokens):
+    _, cache = jax.jit(lambda p, t, c: forward(cfg, p, t, 0, c))(
+        params, tokens, KVCache.create(cfg))
+    return cache
+
+
+def test_weights_actually_sharded(mesh):
+    cfg = CFG
+    params = random_params(cfg, seed=3)
+    sp = shard_params(cfg, mesh, params)
+    # column-parallel wq: each device holds O/4 of the rows
+    shard_shapes = [s.data.shape for s in sp.wq.data.addressable_shards]
+    O = cfg.n_heads * cfg.head_size
+    assert all(s[1] == O // 4 for s in shard_shapes)
+    # row-parallel w2: input axis split, scales split on group axis
+    assert all(s.data.shape[2] == cfg.hidden_dim // 4
+               for s in sp.w2.data.addressable_shards)
+    assert all(s.data.shape[2] == cfg.hidden_dim // cfg.group_size // 4
+               for s in sp.w2.scales.addressable_shards)
+
+
+def test_kv_head_mismatch_raises():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh8 = make_mesh("data=1,model=8", jax.devices()[:8])
+    cfg = CFG  # n_kv_heads=4 < 8 and 8 % 4 == 0 -> allowed (replicated kv)
+    params = random_params(cfg, seed=0)
+    sh = param_shardings(cfg, mesh8, params)  # should not raise
+    cs = cache_sharding(cfg, mesh8)
+    assert cs is not None
+    bad = cfg.replace(n_kv_heads=3, n_heads=6, dim=96)
+    with pytest.raises(ValueError):
+        param_shardings(bad, mesh8, random_params(bad, seed=0))
+
+
+def test_pad_hidden_for_sharding():
+    cfg = ModelConfig(dim=64, hidden_dim=11008 % 704 + 704, n_layers=1,
+                      n_heads=4, n_kv_heads=4, vocab_size=128, max_seq_len=8)
+    # any H not aligned to 64*8=512
+    cfg = cfg.replace(hidden_dim=704)
+    from fastllama_tpu.tools.synthetic import tiny_weights
+    w = tiny_weights(cfg, seed=1)
+    ref_out = None
+    cfg2 = pad_hidden_for_sharding(cfg, w, model_parallel=8)
+    assert cfg2.hidden_dim == 1024
+    assert w["w1"].shape == (1, 1024, 64)
+    assert w["w2"].shape == (1, 64, 1024)
+    # padding is exact: forward with padded weights == unpadded
+    from fastllama_tpu.models.llama import build_params
+    w0 = tiny_weights(cfg, seed=1)
+    p0 = build_params(cfg, w0, QuantType.INT8)
+    p1 = build_params(cfg2, w, QuantType.INT8)
+    toks = jnp.asarray([1, 5], jnp.int32)
+    l0, _ = jax.jit(lambda p, t, c: forward(cfg, p, t, 0, c))(
+        p0, toks, KVCache.create(cfg))
+    l1, _ = jax.jit(lambda p, t, c: forward(cfg2, p, t, 0, c))(
+        p1, toks, KVCache.create(cfg2))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dryrun_entry():
+    import __graft_entry__ as g
+    g.dryrun_multichip(min(8, len(jax.devices())))

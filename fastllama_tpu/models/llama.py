@@ -36,21 +36,27 @@ from fastllama_tpu.quant.groupquant import QArray, dequantize, quantize
 class LlamaParams:
     """Layer-stacked weights.  Quantized leaves are :class:`QArray` (int data
     + fp32 group scales); norms stay fp32 like the reference
-    (TransformerWeights, model_loader.h:72-92).  Projection matrices are
-    stored (out, in) with quant groups along the contraction axis."""
+    (TransformerWeights, model_loader.h:72-92).
 
-    embedding: Any        # (vocab, dim)            QArray | f32
+    Projection matrices live in the TPU-native **transposed** layout
+    ``(in, out)`` with quant groups along the contraction (in) axis
+    (QArray.group_axis = -2): lanes carry output features, so matmuls are
+    ``x @ w`` with no relayout and the Pallas kernel expands group scales
+    along sublanes.  Checkpoint layout (out, in) is transposed once at load
+    (build_params).  The embedding stays (vocab, dim) for row gathers."""
+
+    embedding: Any        # (vocab, dim)            QArray(ga=-1) | f32
     attn_norm: jax.Array  # (L, dim)                f32
-    wq: Any               # (L, n_heads*hs, dim)
-    wk: Any               # (L, kv_dim, dim)
-    wv: Any               # (L, kv_dim, dim)
-    wo: Any               # (L, dim, n_heads*hs)
+    wq: Any               # (L, dim, n_heads*hs)
+    wk: Any               # (L, dim, kv_dim)
+    wv: Any               # (L, dim, kv_dim)
+    wo: Any               # (L, n_heads*hs, dim)
     ffn_norm: jax.Array   # (L, dim)
-    w1: Any               # (L, hidden, dim)        gate (LAYER_MLP_GATE)
-    w2: Any               # (L, dim, hidden)        down
-    w3: Any               # (L, hidden, dim)        up
+    w1: Any               # (L, dim, hidden)        gate (LAYER_MLP_GATE)
+    w2: Any               # (L, hidden, dim)        down
+    w3: Any               # (L, dim, hidden)        up
     out_norm: jax.Array   # (dim,)
-    classifier: Any       # (vocab, dim)
+    classifier: Any       # (dim, vocab)
 
 
 @jax.tree_util.register_dataclass
@@ -145,31 +151,44 @@ _NORM_FIELDS = ("attn_norm", "ffn_norm", "out_norm")
 
 def build_params(cfg: ModelConfig, raw: dict, qtype: Optional[QuantType] = None,
                  device_put=jnp.asarray) -> LlamaParams:
-    """Assemble params from a loader's numpy dict.
+    """Assemble params from a loader's numpy dict (checkpoint layout:
+    projections (…, out, in), groups along in).
 
     ``raw`` values are fp32 ndarrays, or ``(data, scales)`` tuples for
     pre-quantized tensors (FLM files store int8/int16 directly,
     flm_loader.cpp:493-559).  fp32 projection weights are quantized here to
-    ``qtype`` — the analogue of quantize-on-load (llama2c_loader.cpp:117-124).
+    ``qtype`` — the analogue of quantize-on-load (llama2c_loader.cpp:117-124)
+    — and all projections are transposed to the TPU-native (in, out) layout.
     """
+    from fastllama_tpu.quant.groupquant import quantize_np, transpose_weight
     qtype = qtype if qtype is not None else cfg.quant_type
     gs = cfg.group_size
     out = {}
     for f in dataclasses.fields(LlamaParams):
         v = raw[f.name]
+        transpose = f.name not in ("embedding",)
         if f.name in _NORM_FIELDS:
             out[f.name] = device_put(np.asarray(v, dtype=np.float32))
-        elif isinstance(v, tuple):
+            continue
+        if isinstance(v, tuple):
             data, scales = v
+        elif qtype == QuantType.NONE:
+            w = np.asarray(v, dtype=np.float32)
+            if transpose:
+                w = np.ascontiguousarray(np.swapaxes(w, -1, -2))
+            out[f.name] = device_put(w)
+            continue
+        else:
+            data, scales = quantize_np(np.asarray(v, np.float32), qtype, gs)
+        if transpose:
+            data, scales = transpose_weight(data, scales)
+            out[f.name] = QArray(device_put(data),
+                                 device_put(scales.astype(np.float32)),
+                                 qtype, gs, group_axis=-2)
+        else:
             out[f.name] = QArray(device_put(data),
                                  device_put(scales.astype(np.float32)),
                                  qtype, gs)
-        elif qtype == QuantType.NONE:
-            out[f.name] = device_put(np.asarray(v, dtype=np.float32))
-        else:
-            from fastllama_tpu.quant.groupquant import quantize_np
-            data, scales = quantize_np(np.asarray(v, np.float32), qtype, gs)
-            out[f.name] = QArray(device_put(data), device_put(scales), qtype, gs)
     return LlamaParams(**out)
 
 
@@ -188,10 +207,11 @@ def random_params_int(cfg: ModelConfig, seed: int = 0,
     L, D, H, V = cfg.n_layers, cfg.dim, cfg.hidden_dim, cfg.vocab_size
     kd, nh, hs = cfg.kv_dim, cfg.n_heads, cfg.head_size
     gs = cfg.group_size
+    # transposed (in, out) layout; groups along in (axis -2)
     shapes = dict(
-        embedding=(V, D), wq=(L, nh * hs, D), wk=(L, kd, D), wv=(L, kd, D),
-        wo=(L, D, nh * hs), w1=(L, H, D), w2=(L, D, H), w3=(L, H, D),
-        classifier=(V, D),
+        embedding=(V, D), wq=(L, D, nh * hs), wk=(L, D, kd), wv=(L, D, kd),
+        wo=(L, nh * hs, D), w1=(L, D, H), w2=(L, H, D), w3=(L, D, H),
+        classifier=(D, V),
     )
     keys = jax.random.split(jax.random.PRNGKey(seed), len(shapes))
     out = dict(
@@ -207,8 +227,14 @@ def random_params_int(cfg: ModelConfig, seed: int = 0,
         for key, (name, shape) in zip(keys, shapes.items()):
             data = jax.random.randint(key, shape, -qmax, qmax + 1,
                                       jnp.int32).astype(dt)
-            scales = jnp.full((*shape[:-1], shape[-1] // gs), sval, jnp.float32)
-            res[name] = QArray(data, scales, qtype, gs)
+            if name == "embedding":
+                sshape = (*shape[:-1], shape[-1] // gs)
+                ga = -1
+            else:
+                sshape = (*shape[:-2], shape[-2] // gs, shape[-1])
+                ga = -2
+            res[name] = QArray(data, jnp.full(sshape, sval, jnp.float32),
+                               qtype, gs, group_axis=ga)
         return res
 
     out.update(gen_all(keys))
@@ -224,9 +250,9 @@ def random_params(cfg: ModelConfig, seed: int = 0,
     L, D, H, V = cfg.n_layers, cfg.dim, cfg.hidden_dim, cfg.vocab_size
     kd, nh, hs = cfg.kv_dim, cfg.n_heads, cfg.head_size
     shapes = dict(
-        embedding=(V, D), wq=(L, nh * hs, D), wk=(L, kd, D), wv=(L, kd, D),
-        wo=(L, D, nh * hs), w1=(L, H, D), w2=(L, D, H), w3=(L, H, D),
-        classifier=(V, D),
+        embedding=(V, D), wq=(L, D, nh * hs), wk=(L, D, kd), wv=(L, D, kd),
+        wo=(L, nh * hs, D), w1=(L, D, H), w2=(L, H, D), w3=(L, D, H),
+        classifier=(D, V),
     )
     keys = jax.random.split(jax.random.PRNGKey(seed), len(shapes))
     out = dict(
@@ -236,6 +262,15 @@ def random_params(cfg: ModelConfig, seed: int = 0,
     )
     for key, (name, shape) in zip(keys, shapes.items()):
         w = jax.random.normal(key, shape, jnp.float32) * scale
-        out[name] = quantize(w, qtype, cfg.group_size) \
-            if qtype != QuantType.NONE else w
+        if qtype == QuantType.NONE:
+            out[name] = w
+        elif name == "embedding":
+            out[name] = quantize(w, qtype, cfg.group_size)
+        else:
+            # quantize along the contraction axis (-2): quantize the
+            # transposed view then swap data/scales back
+            q = quantize(jnp.swapaxes(w, -1, -2), qtype, cfg.group_size)
+            out[name] = QArray(jnp.swapaxes(q.data, -1, -2),
+                               jnp.swapaxes(q.scales, -1, -2),
+                               qtype, cfg.group_size, group_axis=-2)
     return LlamaParams(**out)

@@ -1,0 +1,145 @@
+"""Fused dequant+matmul Pallas kernel — the TPU replacement for the
+reference's hand-fused AVX-512 int8 dot-product matmul
+(``quant_operators.cpp:252-348``, ``x86_simd.cpp:1647-1674``).
+
+Decode-time matmuls are HBM-bandwidth bound: the win is streaming int8/int16
+weights out of HBM at 1-2 bytes/param and dequantizing **in VMEM** right
+before the MXU — never materializing a dequantized copy in HBM (which is
+what the jnp fallback costs whenever XLA fails to fuse).
+
+Layout (see models/llama.py): weights are (I, O) with scales (I/gs, O) —
+lanes carry output features, so the per-group scale expansion is a sublane
+broadcast+reshape (Mosaic supports collapsing leading dims; it rejects the
+minor-dim collapse the (O, I) layout would need).  Grid is
+(T_tiles, O_tiles, K_tiles) with K minor-most: each (TT, TO) output tile
+stays in VMEM accumulating fp32 partial dots while weight K-tiles stream.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fastllama_tpu.config import QuantType
+from fastllama_tpu.quant.groupquant import QArray
+
+_TK_CANDIDATES = (2048, 1024, 512)
+_W_TILE_BYTES = 2 * 1024 * 1024
+_MAX_TO = 512
+_MAX_TT = 256
+
+
+def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, *, gs: int, wide: bool):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    w = w_ref[:]                                  # (TK, TO) int
+    s = s_ref[:]                                  # (TK//gs, TO) f32
+    TKg, TO = s.shape
+    # group scales expand along sublanes: row g covers data rows [g*gs,(g+1)*gs)
+    scale = jnp.broadcast_to(s[:, None, :], (TKg, gs, TO)).reshape(TKg * gs, TO)
+    if wide:
+        # int16 values (to 5792) overflow bf16's 8-bit mantissa: f32 dequant
+        # + full-precision MXU passes
+        wf = w.astype(jnp.float32) * scale
+        acc = jax.lax.dot_general(
+            x_ref[:].astype(jnp.float32), wf,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    else:
+        wf = (w.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            x_ref[:].astype(jnp.bfloat16), wf,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o_ref[:] += acc
+
+
+def _pick_to(O: int, cap: int) -> int:
+    """Largest multiple of 128 <= cap that divides O (0 if none)."""
+    to = min(cap, O) // 128 * 128
+    while to >= 128 and O % to != 0:
+        to -= 128
+    return to
+
+
+def _pick_tiles(T: int, O: int, I: int, gs: int, itemsize: int):
+    """(TT, TO, TK) — TO must divide O; TK must divide I with TK%gs==0 and
+    (TK/gs)%8==0 (Mosaic sublane constraint on the scale block), else fall
+    back to full-K tiles with a narrower TO."""
+    TT = min(_MAX_TT, T)
+    for tk in _TK_CANDIDATES:
+        if I % tk == 0 and tk % gs == 0 and (tk // gs) % 8 == 0:
+            return TT, _pick_to(O, _MAX_TO), tk
+    # full-K fallback (e.g. I = 11008): bound the weight tile bytes
+    to_cap = max(128, _W_TILE_BYTES // (I * itemsize) // 128 * 128)
+    return TT, _pick_to(O, min(to_cap, _MAX_TO)), I
+
+
+def supported(x: jax.Array, w) -> bool:
+    if not isinstance(w, QArray) or w.group_axis != -2:
+        return False
+    if x.ndim != 2 or w.data.ndim != 2:
+        return False
+    T, I = x.shape
+    O = w.data.shape[1]
+    gs = w.group_size
+    if I % gs != 0 or O % 128 != 0:
+        return False
+    TT, TO, TK = _pick_tiles(T, O, I, gs, w.data.dtype.itemsize)
+    return TO > 0 and T % TT == 0 and I % TK == 0
+
+
+def qmatmul_pallas(x: jax.Array, w: QArray, compute_dtype=jnp.bfloat16,
+                   interpret: bool = False) -> jax.Array:
+    """``x @ w`` with in-VMEM dequantization.  ``x``: (T, I) f32/bf16;
+    ``w``: QArray (I, O), scales (I/gs, O).  Returns (T, O) in x.dtype."""
+    T, I = x.shape
+    O = w.data.shape[1]
+    gs = w.group_size
+    TT, TO, TK = _pick_tiles(T, O, I, gs, w.data.dtype.itemsize)
+    wide = w.qtype == QuantType.INT16
+
+    kernel = functools.partial(_qmm_kernel, gs=gs, wide=wide)
+    out = pl.pallas_call(
+        kernel,
+        grid=(T // TT, O // TO, I // TK),
+        in_specs=[
+            pl.BlockSpec((TT, TK), lambda t, o, k: (t, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK, TO), lambda t, o, k: (k, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK // gs, TO), lambda t, o, k: (k, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TT, TO), lambda t, o, k: (t, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, O), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * O * I,
+            bytes_accessed=O * I * w.data.dtype.itemsize + O * I // gs * 4
+            + T * I * x.dtype.itemsize + T * O * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, w.data, w.scales)
+    return out.astype(x.dtype)
+
+
+def make_mm(compute_dtype=jnp.bfloat16, interpret: bool = False):
+    """An mm(x, w) drop-in for models.llama.forward: Pallas where supported,
+    jnp fallback otherwise (odd shapes, plain arrays)."""
+    from fastllama_tpu.ops.qmatmul import qmatmul
+
+    def mm(x, w):
+        if isinstance(w, QArray) and x.ndim == 2 and supported(x, w):
+            return qmatmul_pallas(x, w, compute_dtype, interpret)
+        return qmatmul(x, w, compute_dtype)
+
+    return mm

@@ -25,8 +25,9 @@ from fastllama_tpu.quant.groupquant import QArray, dequantize, quantize
 
 
 def qmatmul(x: jax.Array, w, compute_dtype=jnp.float32) -> jax.Array:
-    """``x @ w.T`` where ``w`` is a QArray of shape (O, I) (groups along I) or
-    a plain (O, I) array.  ``x``: (..., I).  Returns (..., O) in x.dtype."""
+    """``x @ w`` where ``w`` is a QArray in the transposed (I, O) layout
+    (groups along I, group_axis=-2) or a plain (I, O) array.
+    ``x``: (..., I).  Returns (..., O) in x.dtype."""
     if isinstance(w, QArray):
         wf = dequantize(w, compute_dtype)
     else:
@@ -36,7 +37,7 @@ def qmatmul(x: jax.Array, w, compute_dtype=jnp.float32) -> jax.Array:
                  else jax.lax.Precision.DEFAULT)
     out = jax.lax.dot_general(
         x.astype(compute_dtype), wf,
-        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
         precision=precision,
         preferred_element_type=jnp.float32)
     return out.astype(x.dtype)
@@ -45,14 +46,17 @@ def qmatmul(x: jax.Array, w, compute_dtype=jnp.float32) -> jax.Array:
 def qmatmul_parity(x: jax.Array, w: QArray) -> jax.Array:
     """Bit-faithful reference math (quant_operators.cpp:252-284): quantize the
     activation per group, integer dot per group, fp32 accumulation of
-    ``int_dot * ws * xs``.  ``x``: (B, I) fp32; ``w``: (O, I)."""
+    ``int_dot * ws * xs``.  ``x``: (B, I) fp32; ``w``: (I, O) QArray with
+    group_axis=-2 (scales (G, O))."""
     gs = w.group_size
-    O, I = w.data.shape
+    I, O = w.data.shape
     G = I // gs
     xq = quantize(x, w.qtype, gs)
-    # int32 grouped dot: (O, G, gs) x (B, G, gs) -> (B, O, G)
-    wd = w.data.reshape(O, G, gs).astype(jnp.int32)
+    # int32 grouped dot: (G, gs, O) x (B, G, gs) -> (B, O, G)
+    wd = w.data.reshape(G, gs, O).astype(jnp.int32)
     xd = xq.data.reshape(*x.shape[:-1], G, gs).astype(jnp.int32)
-    acc = jnp.einsum("ogk,...gk->...og", wd, xd)
-    scaled = acc.astype(jnp.float32) * w.scales[None, :, :] * xq.scales[..., None, :]
+    acc = jnp.einsum("gko,...gk->...og", wd, xd)
+    scaled = (acc.astype(jnp.float32)
+              * jnp.swapaxes(w.scales, 0, 1)[None, :, :]
+              * xq.scales[..., None, :])
     return jnp.sum(scaled, axis=-1)

@@ -72,7 +72,7 @@ def _leaf(mesh: Mesh, value, data_spec: P):
     if isinstance(value, QArray):
         ds = NamedSharding(mesh, data_spec)
         ss = NamedSharding(mesh, _fit_spec(mesh, value.scales.shape, data_spec))
-        return QArray(ds, ss, value.qtype, value.group_size)
+        return QArray(ds, ss, value.qtype, value.group_size, value.group_axis)
     return NamedSharding(mesh, data_spec)
 
 
@@ -92,9 +92,11 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh, params: LlamaParams
             " (reference analogue: n_heads % n_kv_heads == 0,"
             " transformer.cpp:215-218)")
 
-    col = P(None, MODEL_AXIS, None)    # (L, O, I): shard O
-    row = P(None, None, MODEL_AXIS)    # (L, O, I): shard I  (and scales I/gs)
-    vocab = P(MODEL_AXIS, None)        # (V, D): shard V
+    # transposed (in, out) weight layout: (L, I, O), scales (L, I/gs, O)
+    col = P(None, None, MODEL_AXIS)    # shard out-features (lanes)
+    row = P(None, MODEL_AXIS, None)    # shard in-features (and scale groups)
+    vocab = P(MODEL_AXIS, None)        # embedding (V, D): shard V
+    cls_vocab = P(None, MODEL_AXIS)    # classifier (D, V): shard V
     rep1 = P(None)
     rep2 = P(None, None)
 
@@ -114,7 +116,7 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh, params: LlamaParams
         w2=_leaf(mesh, params.w2, row),
         w3=_leaf(mesh, params.w3, col),
         out_norm=NamedSharding(mesh, rep1),
-        classifier=_leaf(mesh, params.classifier, vocab),
+        classifier=_leaf(mesh, params.classifier, cls_vocab),
     )
 
 

@@ -53,15 +53,22 @@ _QDTYPE_NP = {
 class QArray:
     """Group-quantized tensor: integer ``data`` + per-group fp32 ``scales``.
 
-    ``data`` has shape ``(..., K)``; ``scales`` has shape ``(..., K // gs)``.
-    Groups always run along the last axis (for weights stored ``(O, I)`` this
-    is the contraction axis, matching the reference's per-row grouping).
+    ``group_axis`` selects where quant groups run:
+
+    * ``-1`` (default): groups along the last axis — activations and the
+      embedding table ``(V, D)``, matching the reference's per-row grouping.
+    * ``-2``: groups along the second-to-last axis — projection weights in
+      the TPU-native transposed layout ``(in, out)`` with scales
+      ``(in // gs, out)``.  Lanes then carry output features, which is what
+      the MXU and the Pallas dequant kernel want (scale expansion along
+      sublanes; see ops/pallas/qmm.py).
     """
 
     data: jax.Array
     scales: jax.Array
     qtype: QuantType = dataclasses.field(metadata=dict(static=True))
     group_size: int = dataclasses.field(metadata=dict(static=True))
+    group_axis: int = dataclasses.field(default=-1, metadata=dict(static=True))
 
     @property
     def shape(self):
@@ -75,8 +82,10 @@ class QArray:
         return dequantize(self, dtype)
 
     def __getitem__(self, idx) -> "QArray":
-        # Leading-axis indexing only (layer slicing); groups live on last axis.
-        return QArray(self.data[idx], self.scales[idx], self.qtype, self.group_size)
+        # Leading-axis indexing only (layer slicing); groups live on trailing
+        # axes, which negative group_axis keeps addressing correctly.
+        return QArray(self.data[idx], self.scales[idx], self.qtype,
+                      self.group_size, self.group_axis)
 
 
 def _check(n: int, gs: int) -> None:
@@ -102,9 +111,25 @@ def dequantize(q: QArray, dtype=jnp.float32) -> jax.Array:
     """Inverse of :func:`quantize` (quant_operators.cpp:50-66)."""
     gs = q.group_size
     shape = q.data.shape
-    g = q.data.reshape(*shape[:-1], shape[-1] // gs, gs).astype(dtype)
-    out = g * q.scales[..., None].astype(dtype)
+    if q.group_axis == -1:
+        g = q.data.reshape(*shape[:-1], shape[-1] // gs, gs).astype(dtype)
+        out = g * q.scales[..., None].astype(dtype)
+    elif q.group_axis == -2:
+        g = q.data.reshape(*shape[:-2], shape[-2] // gs, gs,
+                           shape[-1]).astype(dtype)
+        out = g * q.scales[..., :, None, :].astype(dtype)
+    else:
+        raise ValueError(f"unsupported group_axis {q.group_axis}")
     return out.reshape(shape)
+
+
+def transpose_weight(data: np.ndarray, scales: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """(…, O, I) data + (…, O, I/gs) scales  ->  (…, I, O) + (…, I/gs, O):
+    the load-time conversion from checkpoint layout to the TPU-native
+    transposed (group_axis=-2) layout."""
+    return (np.ascontiguousarray(np.swapaxes(data, -1, -2)),
+            np.ascontiguousarray(np.swapaxes(scales, -1, -2)))
 
 
 # ---------------------------------------------------------------------------

@@ -72,6 +72,9 @@ class Engine:
         self._cdt = jnp.dtype(jnp.float32 if ec.parity_mode else ec.compute_dtype)
         if ec.parity_mode:
             self._mm = qmatmul_parity
+        elif ec.use_pallas and jax.default_backend() not in ("cpu",):
+            from fastllama_tpu.ops.pallas.qmm import make_mm
+            self._mm = make_mm(compute_dtype=self._cdt)
         else:
             self._mm = partial(qmatmul, compute_dtype=self._cdt)
         self._prefill_fns = {}

@@ -97,14 +97,15 @@ def test_incremental_decode_matches_prefill():
 
 def test_parity_mm_matches_ref_matmul():
     from tests.reference_impl import qmatmul_ref, quantize_ref
+    from fastllama_tpu.quant.groupquant import QArray
     rng = np.random.default_rng(5)
     x = rng.normal(size=(3, 128)).astype(np.float32)
-    w = rng.normal(size=(16, 128)).astype(np.float32)
+    w = rng.normal(size=(16, 128)).astype(np.float32)  # (O, I) checkpoint layout
     for qt in ("int8", "int16"):
         wq, ws = quantize_ref(w, qt)
         ref = qmatmul_ref(x, wq, ws, qt)
-        from fastllama_tpu.quant.groupquant import quantize
-        qa = quantize(jnp.asarray(w), QuantType.parse(qt), 64)
+        qa = QArray(jnp.asarray(wq.T), jnp.asarray(ws.T),
+                    QuantType.parse(qt), 64, group_axis=-2)
         got = np.asarray(qmatmul_parity(jnp.asarray(x), qa))
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 

@@ -1,0 +1,67 @@
+"""Fused dequant-matmul kernel vs the jnp reference — interpret mode on CPU
+(the SURVEY §4 pattern: kernel vs scalar/jnp reference on random data)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastllama_tpu.config import QuantType
+from fastllama_tpu.ops.pallas.qmm import make_mm, qmatmul_pallas, supported
+from fastllama_tpu.ops.qmatmul import qmatmul
+from fastllama_tpu.quant.groupquant import QArray, quantize
+
+
+def make_qweight(O, I, qt, seed=0):
+    rng = np.random.default_rng(seed)
+    w = jnp.asarray(rng.normal(size=(O, I)) * 0.05, jnp.float32)
+    q = quantize(w, qt, 64)  # (O, I), groups last
+    return QArray(q.data.T, q.scales.T, qt, 64, group_axis=-2)  # -> (I, O)
+
+
+@pytest.mark.parametrize("T,O,I,qt", [
+    (1, 512, 256, QuantType.INT8),
+    (8, 1024, 512, QuantType.INT8),
+    (128, 512, 2048, QuantType.INT8),   # K-blocked path
+    (1, 512, 256, QuantType.INT16),
+    (4, 256, 128, QuantType.INT4),
+    (1, 256, 1408, QuantType.INT8),     # full-K fallback (1408 = 11*128)
+])
+def test_qmm_matches_jnp(T, O, I, qt):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(T, I)), jnp.bfloat16)
+    w = make_qweight(O, I, qt)
+    assert supported(x, w)
+    ref = qmatmul(x, w, jnp.bfloat16).astype(jnp.float32)
+    got = qmatmul_pallas(x, w, interpret=True).astype(jnp.float32)
+    denom = float(jnp.abs(ref).max())
+    assert float(jnp.abs(got - ref).max()) / denom < 0.02
+
+
+def test_make_mm_fallback():
+    # unsupported shape (O not mult of 128) silently falls back to jnp
+    mm = make_mm(interpret=True)
+    x = jnp.ones((2, 128), jnp.float32)
+    w = make_qweight(96, 128, QuantType.INT8)
+    out = mm(x, w)
+    assert out.shape == (2, 96)
+    # plain array fallback
+    out2 = mm(x, jnp.ones((128, 64), jnp.float32))
+    assert out2.shape == (2, 64)
+
+
+def test_qmm_in_forward_interpret():
+    """Whole model forward with the pallas mm (interpret) == jnp forward."""
+    from fastllama_tpu.config import ModelConfig
+    from fastllama_tpu.models.llama import KVCache, forward, random_params
+
+    cfg = ModelConfig(dim=128, hidden_dim=256, n_layers=2, n_heads=4,
+                      n_kv_heads=2, vocab_size=256, max_seq_len=16,
+                      quant_type=QuantType.INT8)
+    params = random_params(cfg, seed=2)
+    tokens = jnp.asarray([3, 9, 77], jnp.int32)
+    mm = make_mm(compute_dtype=jnp.float32, interpret=True)
+    ref, _ = jax.jit(lambda p, t, c: forward(cfg, p, t, 0, c))(
+        params, tokens, KVCache.create(cfg))
+    got, _ = forward(cfg, params, tokens, 0, KVCache.create(cfg), mm=mm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-2, atol=5e-2)

@@ -57,14 +57,14 @@ def test_weights_actually_sharded(mesh):
     cfg = CFG
     params = random_params(cfg, seed=3)
     sp = shard_params(cfg, mesh, params)
-    # column-parallel wq: each device holds O/4 of the rows
+    # column-parallel wq (L, D, O): each device holds O/4 of the out-features
     shard_shapes = [s.data.shape for s in sp.wq.data.addressable_shards]
     O = cfg.n_heads * cfg.head_size
-    assert all(s[1] == O // 4 for s in shard_shapes)
-    # row-parallel w2: input axis split, scales split on group axis
-    assert all(s.data.shape[2] == cfg.hidden_dim // 4
+    assert all(s[2] == O // 4 for s in shard_shapes)
+    # row-parallel w2 (L, H, D): input axis split, scales split on group axis
+    assert all(s.data.shape[1] == cfg.hidden_dim // 4
                for s in sp.w2.data.addressable_shards)
-    assert all(s.data.shape[2] == cfg.hidden_dim // cfg.group_size // 4
+    assert all(s.data.shape[1] == cfg.hidden_dim // cfg.group_size // 4
                for s in sp.w2.scales.addressable_shards)
 
 

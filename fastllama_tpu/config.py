@@ -110,5 +110,9 @@ class EngineConfig:
     # exact in bf16 and the MXU runs native-speed; parity tests pin float32.
     compute_dtype: str = "bfloat16"
     use_pallas: bool = True             # fused kernels on TPU; jnp fallback otherwise
+    # concat QKV + gate/up into single matmuls (single-mesh only).  Off by
+    # default: on v5e the per-projection kernels pipeline slightly better;
+    # useful for dispatch-bound tiny models.
+    fuse_weights: bool = False
     parity_mode: bool = False           # bit-faithful reference math (act-quant int dot)
     donate_cache: bool = True

@@ -84,8 +84,34 @@ def embed_tokens(emb, tokens: jax.Array, dtype=jnp.float32) -> jax.Array:
     return emb[tokens].astype(dtype)
 
 
+def fuse_params(cfg: ModelConfig, params: LlamaParams) -> LlamaParams:
+    """Concatenate QKV and gate/up projections along the out-features axis —
+    the analogue of the reference's fused QKV rows (transformer.cpp:307-318)
+    and fused FFN13 task (transformer.cpp:468-483).  Halves matmul dispatch
+    count per layer; ``forward`` detects fusion via ``wk is None``.
+
+    Only valid in the transposed layout: groups run along the shared
+    contraction axis, so data AND scales concatenate along the last axis.
+    Not used with naive TP sharding (an even split of the concat axis would
+    straddle the q/k/v section boundaries)."""
+    def cat(ws):
+        if isinstance(ws[0], QArray):
+            return QArray(jnp.concatenate([w.data for w in ws], axis=-1),
+                          jnp.concatenate([w.scales for w in ws], axis=-1),
+                          ws[0].qtype, ws[0].group_size, ws[0].group_axis)
+        return jnp.concatenate(ws, axis=-1)
+
+    return dataclasses.replace(
+        params,
+        wq=cat([params.wq, params.wk, params.wv]), wk=None, wv=None,
+        w1=cat([params.w1, params.w3]), w3=None)
+
+
 def forward(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array, pos,
             cache: KVCache, *, mm: Callable = qmatmul,
+            attn: Callable = gqa_attention, unroll: bool = False,
+            mm_idx: Optional[Callable] = None,
+            attn_idx: Optional[Callable] = None,
             compute_dtype=jnp.float32) -> Tuple[jax.Array, KVCache]:
     """One transformer step over T tokens at absolute positions
     [pos, pos+T).  Returns per-token logits (T, vocab) and the updated cache.
@@ -93,6 +119,18 @@ def forward(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array, pos,
     Works for prefill (T = prompt bucket) and decode (T = 1) — the same
     ``generate`` structure as transformer.cpp:92-101 where the whole prompt is
     one batched forward.
+
+    Layer iteration modes (fastest first):
+
+    * ``mm_idx`` given: ``lax.scan`` over layer indices; the Pallas kernel
+      reads each layer's weights straight from the stacked HBM buffers via
+      scalar-prefetch index_maps — no weight copies.
+    * default: ``lax.scan`` over stacked weights (XLA dynamic-slices — i.e.
+      copies — each layer's weights per step; profiled at ~50% of decode
+      time on v5e, but needs no Pallas and compiles fastest).
+    * ``unroll=True``: python loop with static indices (larger compile,
+      measured slower than scan on v5e — XLA copies slices feeding custom
+      calls).
     """
     T = tokens.shape[0]
     hs, n_heads, n_kv = cfg.head_size, cfg.n_heads, cfg.n_kv_heads
@@ -101,37 +139,158 @@ def forward(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array, pos,
     positions = pos + jnp.arange(T, dtype=jnp.int32)
     cos, sin = rope_cos_sin(positions, hs, cfg.rope_theta, compute_dtype)
 
-    layer_xs = (
-        params.attn_norm, params.wq, params.wk, params.wv, params.wo,
-        params.ffn_norm, params.w1, params.w2, params.w3, cache.k, cache.v,
-    )
+    fused = params.wk is None
+    qdim, kvdim = n_heads * hs, cfg.kv_dim
+    hdim = cfg.hidden_dim
 
-    def layer_fn(x, layer):
+    def layer_fn(x, weights_l, write_kv, proj=None, attn_fn=None):
+        """write_kv(k, v) appends the new rows and returns the full layer
+        cache slices to attend over.  ``proj(h, w)`` is the projection op —
+        either mm over a sliced (I, O) weight or a layer-indexed kernel over
+        the full (L, I, O) stack."""
+        proj = proj or mm
         (attn_norm_l, wq_l, wk_l, wv_l, wo_l,
-         ffn_norm_l, w1_l, w2_l, w3_l, kc_l, vc_l) = layer
+         ffn_norm_l, w1_l, w2_l, w3_l) = weights_l
 
         h = rmsnorm(x, attn_norm_l, cfg.norm_eps)
-        q = mm(h, wq_l).reshape(T, n_heads, hs).transpose(1, 0, 2)
-        k = mm(h, wk_l).reshape(T, n_kv, hs).transpose(1, 0, 2)
-        v = mm(h, wv_l).reshape(T, n_kv, hs).transpose(1, 0, 2)
+        if fused:
+            qkv = proj(h, wq_l)                       # (T, qdim+2*kvdim)
+            q = qkv[:, :qdim]
+            k = qkv[:, qdim:qdim + kvdim]
+            v = qkv[:, qdim + kvdim:]
+        else:
+            q, k, v = proj(h, wq_l), proj(h, wk_l), proj(h, wv_l)
+        q = q.reshape(T, n_heads, hs).transpose(1, 0, 2)
+        k = k.reshape(T, n_kv, hs).transpose(1, 0, 2)
+        v = v.reshape(T, n_kv, hs).transpose(1, 0, 2)
 
         q = apply_rope_half(q, cos[None], sin[None])
         k = apply_rope_half(k, cos[None], sin[None])
 
-        kc_l, vc_l = update_kv_cache(kc_l, vc_l, k, v, pos)
-        o = gqa_attention(q, kc_l, vc_l, pos)                   # (H, T, hs)
+        kc_l, vc_l = write_kv(k, v)
+        o = (attn_fn or attn)(q, kc_l, vc_l, pos)               # (H, T, hs)
         o = o.transpose(1, 0, 2).reshape(T, n_heads * hs)
-        x = x + mm(o, wo_l)
+        x = x + proj(o, wo_l)
 
         h = rmsnorm(x, ffn_norm_l, cfg.norm_eps)
-        x = x + mm(swiglu(mm(h, w1_l), mm(h, w3_l)), w2_l)
-        return x, (kc_l, vc_l)
+        if fused:
+            g13 = proj(h, w1_l)                       # (T, 2*hidden)
+            hd = swiglu(g13[:, :hdim], g13[:, hdim:])
+        else:
+            hd = swiglu(proj(h, w1_l), proj(h, w3_l))
+        x = x + proj(hd, w2_l)
+        return x
 
-    x, (new_k, new_v) = jax.lax.scan(layer_fn, x, layer_xs)
+    weight_xs = (params.attn_norm, params.wq, params.wk, params.wv, params.wo,
+                 params.ffn_norm, params.w1, params.w2, params.w3)
+
+    if unroll:
+        # static layer indices: weight slices alias the stacked buffers, and
+        # only the T new KV rows are written per layer (in place under
+        # donation) — zero weight copies, zero cache copies
+        ck, cv = cache.k, cache.v
+        for l in range(cfg.n_layers):
+            weights_l = tuple(None if w is None else w[l] for w in weight_xs)
+
+            def write_kv(k, v, l=l):
+                nonlocal ck, cv
+                ck = jax.lax.dynamic_update_slice(
+                    ck, k[None].astype(ck.dtype), (l, 0, pos, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cv, v[None].astype(cv.dtype), (l, 0, pos, 0))
+                return ck[l], cv[l]
+
+            x = layer_fn(x, weights_l, write_kv)
+        new_cache = KVCache(ck, cv)
+    elif mm_idx is not None and attn_idx is not None:
+        # fully layer-indexed: scan over layer indices with the FULL cache in
+        # the carry (aliased in place by XLA); kernels select the layer via
+        # scalar prefetch — neither weights nor cache are ever slice-copied
+        stacked = (params.wq, params.wk, params.wv, params.wo,
+                   params.w1, params.w2, params.w3)
+
+        def scan_fn(carry, layer):
+            x, ck, cv = carry
+            l, attn_norm_l, ffn_norm_l = layer
+            wq_s, wk_s, wv_s, wo_s, w1_s, w2_s, w3_s = stacked
+            weights_l = (attn_norm_l, wq_s, wk_s, wv_s, wo_s,
+                         ffn_norm_l, w1_s, w2_s, w3_s)
+            captured = {}
+
+            def write_kv(k, v):
+                ck2 = jax.lax.dynamic_update_slice(
+                    ck, k[None].astype(ck.dtype), (l, 0, pos, 0))
+                cv2 = jax.lax.dynamic_update_slice(
+                    cv, v[None].astype(cv.dtype), (l, 0, pos, 0))
+                captured["k"], captured["v"] = ck2, cv2
+                return ck2, cv2
+
+            def proj(h, w_full):
+                return mm_idx(h, w_full, l)
+
+            def attn_fn(q, ckf, cvf, p):
+                return attn_idx(q, ckf, cvf, p, l)
+
+            x = layer_fn(x, weights_l, write_kv, proj, attn_fn)
+            return (x, captured["k"], captured["v"]), None
+
+        xs = (jnp.arange(cfg.n_layers, dtype=jnp.int32),
+              params.attn_norm, params.ffn_norm)
+        (x, new_k, new_v), _ = jax.lax.scan(
+            scan_fn, (x, cache.k, cache.v), xs)
+        new_cache = KVCache(new_k, new_v)
+    elif mm_idx is not None:
+        # scan over layer INDICES: the kernel reads each layer's weights
+        # straight out of the stacked HBM buffers via scalar-prefetch
+        # index_maps — no XLA dynamic-slice copies.  Norms and the KV cache
+        # (small) still travel through scan xs/ys.
+        stacked = (params.wq, params.wk, params.wv, params.wo,
+                   params.w1, params.w2, params.w3)
+
+        def scan_fn(x, layer):
+            l, attn_norm_l, ffn_norm_l, kc_l, vc_l = layer
+            wq_s, wk_s, wv_s, wo_s, w1_s, w2_s, w3_s = stacked
+            weights_l = (attn_norm_l, wq_s, wk_s, wv_s, wo_s,
+                         ffn_norm_l, w1_s, w2_s, w3_s)
+
+            def proj(h, w_full):
+                return mm_idx(h, w_full, l)
+
+            new_kc = {}
+
+            def write_kv(k, v):
+                kc, vc = update_kv_cache(kc_l, vc_l, k, v, pos)
+                new_kc["k"], new_kc["v"] = kc, vc
+                return kc, vc
+
+            x = layer_fn(x, weights_l, write_kv, proj)
+            return x, (new_kc["k"], new_kc["v"])
+
+        xs = (jnp.arange(cfg.n_layers, dtype=jnp.int32),
+              params.attn_norm, params.ffn_norm, cache.k, cache.v)
+        x, (new_k, new_v) = jax.lax.scan(scan_fn, x, xs)
+        new_cache = KVCache(new_k, new_v)
+    else:
+        def scan_fn(x, layer):
+            weights_l, kc_l, vc_l = layer[:-2], layer[-2], layer[-1]
+
+            new_kc = {}
+
+            def write_kv(k, v):
+                kc, vc = update_kv_cache(kc_l, vc_l, k, v, pos)
+                new_kc["k"], new_kc["v"] = kc, vc
+                return kc, vc
+
+            x = layer_fn(x, weights_l, write_kv)
+            return x, (new_kc["k"], new_kc["v"])
+
+        x, (new_k, new_v) = jax.lax.scan(scan_fn, x,
+                                         weight_xs + (cache.k, cache.v))
+        new_cache = KVCache(new_k, new_v)
 
     x = rmsnorm(x, params.out_norm, cfg.norm_eps)
     logits = mm(x, params.classifier)                            # (T, vocab)
-    return logits.astype(jnp.float32), KVCache(new_k, new_v)
+    return logits.astype(jnp.float32), new_cache
 
 
 def logits_at(logits: jax.Array, length) -> jax.Array:

@@ -132,6 +132,105 @@ def qmatmul_pallas(x: jax.Array, w: QArray, compute_dtype=jnp.bfloat16,
     return out.astype(x.dtype)
 
 
+def _qmm_kernel_idx(l_ref, x_ref, w_ref, s_ref, o_ref, *, gs: int, wide: bool):
+    """Layer-indexed variant: blocks carry a leading singleton layer axis."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    w = w_ref[0]
+    s = s_ref[0]
+    TKg, TO = s.shape
+    scale = jnp.broadcast_to(s[:, None, :], (TKg, gs, TO)).reshape(TKg * gs, TO)
+    if wide:
+        wf = w.astype(jnp.float32) * scale
+        acc = jax.lax.dot_general(
+            x_ref[:].astype(jnp.float32), wf,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    else:
+        wf = (w.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            x_ref[:].astype(jnp.bfloat16), wf,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o_ref[:] += acc
+
+
+def supported_indexed(x: jax.Array, w) -> bool:
+    if not isinstance(w, QArray) or w.group_axis != -2:
+        return False
+    if x.ndim != 2 or w.data.ndim != 3:
+        return False
+    T, I = x.shape
+    O = w.data.shape[2]
+    gs = w.group_size
+    if I % gs != 0 or O % 128 != 0 or w.data.shape[1] != I:
+        return False
+    TT, TO, TK = _pick_tiles(T, O, I, gs, w.data.dtype.itemsize)
+    return TO > 0 and T % TT == 0 and I % TK == 0
+
+
+def qmatmul_pallas_indexed(x: jax.Array, w: QArray, layer,
+                           compute_dtype=jnp.bfloat16,
+                           interpret: bool = False) -> jax.Array:
+    """``x @ w[layer]`` where ``w`` is the LAYER-STACKED QArray (L, I, O) and
+    ``layer`` a traced scalar.  The kernel's index_map selects the layer via
+    scalar prefetch, so the stacked weight buffer is read directly from HBM —
+    no XLA dynamic-slice copy (which profiling showed costs ~50% of decode
+    when scanning over stacked weights)."""
+    T, I = x.shape
+    L, _, O = w.data.shape
+    gs = w.group_size
+    TT, TO, TK = _pick_tiles(T, O, I, gs, w.data.dtype.itemsize)
+    wide = w.qtype == QuantType.INT16
+    l_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    kernel = functools.partial(_qmm_kernel_idx, gs=gs, wide=wide)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T // TT, O // TO, I // TK),
+        in_specs=[
+            pl.BlockSpec((TT, TK), lambda t, o, k, l: (t, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TK, TO), lambda t, o, k, l: (l[0], k, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TK // gs, TO), lambda t, o, k, l: (l[0], k, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TT, TO), lambda t, o, k, l: (t, o),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, O), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * O * I,
+            bytes_accessed=O * I * w.data.dtype.itemsize + O * I // gs * 4
+            + T * I * x.dtype.itemsize + T * O * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(l_arr, x, w.data, w.scales)
+    return out.astype(x.dtype)
+
+
+def make_mm_indexed(compute_dtype=jnp.bfloat16, interpret: bool = False):
+    """mm_idx(x, w_stacked, layer) for models.llama.forward scan mode."""
+    from fastllama_tpu.ops.qmatmul import qmatmul
+
+    def mm_idx(x, w, layer):
+        if isinstance(w, QArray) and x.ndim == 2 and supported_indexed(x, w):
+            return qmatmul_pallas_indexed(x, w, layer, compute_dtype, interpret)
+        return qmatmul(x, w[layer] if isinstance(w, QArray) else
+                       jnp.take(w, layer, axis=0), compute_dtype)
+
+    return mm_idx
+
+
 def make_mm(compute_dtype=jnp.bfloat16, interpret: bool = False):
     """An mm(x, w) drop-in for models.llama.forward: Pallas where supported,
     jnp fallback otherwise (odd shapes, plain arrays)."""

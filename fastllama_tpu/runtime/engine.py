@@ -65,6 +65,9 @@ class Engine:
                                                     ec.max_seq_len))
         config.validate()
         self.config = config
+        if ec.fuse_weights and not ec.parity_mode:
+            from fastllama_tpu.models.llama import fuse_params
+            params = fuse_params(config, params)
         self.params = params
         self.tokenizer = tokenizer
         self.ec = ec
@@ -73,10 +76,22 @@ class Engine:
         if ec.parity_mode:
             self._mm = qmatmul_parity
         elif ec.use_pallas and jax.default_backend() not in ("cpu",):
-            from fastllama_tpu.ops.pallas.qmm import make_mm
+            from fastllama_tpu.ops.pallas.attention import make_attn
+            from fastllama_tpu.ops.pallas.qmm import make_mm, make_mm_indexed
+            from fastllama_tpu.ops.pallas.attention import make_attn_indexed
             self._mm = make_mm(compute_dtype=self._cdt)
+            self._mm_idx = make_mm_indexed(compute_dtype=self._cdt)
+            self._attn = make_attn()
+            self._attn_idx = make_attn_indexed()
         else:
             self._mm = partial(qmatmul, compute_dtype=self._cdt)
+        if not hasattr(self, "_attn"):
+            from fastllama_tpu.ops.attention import gqa_attention
+            self._attn = gqa_attention
+        if not hasattr(self, "_mm_idx"):
+            self._mm_idx = None
+        if not hasattr(self, "_attn_idx"):
+            self._attn_idx = None
         self._prefill_fns = {}
         self._decode_fns = {}
         self._step_fn = None
@@ -109,12 +124,12 @@ class Engine:
 
     def _get_prefill(self, bucket: int):
         if bucket not in self._prefill_fns:
-            cfg, mm = self.config, self._mm
-
-            cdt = self._cdt
+            cfg, mm, at = self.config, self._mm, self._attn
+            mi, ai, cdt = self._mm_idx, self._attn_idx, self._cdt
 
             def f(params, tokens, cache, length):
                 lg, cache = forward(cfg, params, tokens, 0, cache, mm=mm,
+                                    attn=at, mm_idx=mi, attn_idx=ai,
                                     compute_dtype=cdt)
                 return logits_at(lg, length), cache
 
@@ -124,15 +139,15 @@ class Engine:
     def _get_decode_chunk(self, n_steps: int, temperature: float, topp: float):
         key_ = (n_steps, temperature, topp)
         if key_ not in self._decode_fns:
-            cfg, mm = self.config, self._mm
-
-            cdt = self._cdt
+            cfg, mm, at = self.config, self._mm, self._attn
+            mi, ai, cdt = self._mm_idx, self._attn_idx, self._cdt
 
             def chunk(params, cache, token, pos0, rng):
                 def body(carry, _):
                     tok, pos, cache, rng = carry
                     lg, cache = forward(cfg, params, tok[None], pos, cache,
-                                        mm=mm, compute_dtype=cdt)
+                                        mm=mm, attn=at, mm_idx=mi, attn_idx=ai,
+                                    compute_dtype=cdt)
                     rng, sub = jax.random.split(rng)
                     nxt = sampling.sample(lg[0], sub, temperature, topp)
                     return (nxt, pos + 1, cache, rng), nxt
@@ -147,13 +162,13 @@ class Engine:
     def _get_step(self):
         """Single forward step returning full logits (parity/host-sampling)."""
         if self._step_fn is None:
-            cfg, mm = self.config, self._mm
-
-            cdt = self._cdt
+            cfg, mm, at = self.config, self._mm, self._attn
+            mi, ai, cdt = self._mm_idx, self._attn_idx, self._cdt
 
             def f(params, tokens, pos, cache):
                 return forward(cfg, params, tokens, pos, cache, mm=mm,
-                               compute_dtype=cdt)
+                               attn=at, mm_idx=mi, attn_idx=ai,
+                                    compute_dtype=cdt)
 
             self._step_fn = jax.jit(f, donate_argnums=(3,))
         return self._step_fn

@@ -137,3 +137,18 @@ def test_padded_prefill_logits_match():
         params, jnp.asarray([7], jnp.int32), cache3)
     np.testing.assert_allclose(np.asarray(nxt), np.asarray(nxt_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_params_match_unfused():
+    from fastllama_tpu.models.llama import fuse_params
+    cfg = CFG
+    params = random_params(cfg, seed=9, qtype=QuantType.INT8)
+    fused = fuse_params(cfg, params)
+    assert fused.wk is None and fused.w3 is None
+    tokens = jnp.asarray([4, 99, 200], jnp.int32)
+    ref, _ = jax.jit(lambda p, t, c: forward(cfg, p, t, 0, c))(
+        params, tokens, KVCache.create(cfg))
+    got, _ = jax.jit(lambda p, t, c: forward(cfg, p, t, 0, c))(
+        fused, tokens, KVCache.create(cfg))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -26,7 +26,9 @@ from jax.experimental.pallas import tpu as pltpu
 from fastllama_tpu.config import QuantType
 from fastllama_tpu.quant.groupquant import QArray
 
-_TK_CANDIDATES = (2048, 1024, 512)
+# prefer the largest K tile that divides I (fewer output-tile revisits; a
+# full-K 4096 tile measured +4% decode and +19% prefill over 2048 on v5e)
+_TK_CANDIDATES = (4096, 2048, 1024, 512)
 _W_TILE_BYTES = 2 * 1024 * 1024
 _MAX_TO = 512
 _MAX_TT = 256

@@ -74,6 +74,34 @@ def encode_decode(args) -> int:
     return 0
 
 
+def chat_loop(eng, args) -> int:
+    """Interactive multi-turn REPL (reference Mode::CHAT) with the KV cache
+    held resident between turns."""
+    from fastllama_tpu.runtime.engine import ChatSession
+    sess = ChatSession(eng, system_prompt=args.prompt or "")
+    print("chat mode — empty line or /exit to quit, /reset for a new session")
+    while True:
+        try:
+            line = input("you> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            print()
+            return 0
+        if not line or line == "/exit":
+            return 0
+        if line == "/reset":
+            sess = ChatSession(eng, system_prompt=args.prompt or "")
+            continue
+        print("bot> ", end="", flush=True)
+        try:
+            sess.generate(line, max_new_tokens=args.max_new_tokens,
+                          temperature=args.temperature, topp=args.topp,
+                          seed=args.seed,
+                          callback=lambda t: print(t, end="", flush=True))
+        except ValueError as e:
+            print(f"[{e} — /reset to clear]", end="")
+        print()
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.encode or args.decode:
@@ -104,6 +132,9 @@ def main(argv=None) -> int:
               f"({eng.config.name or 'unnamed'}: dim={eng.config.dim} "
               f"layers={eng.config.n_layers} vocab={eng.config.vocab_size})",
               file=sys.stderr)
+
+    if args.mode == "chat":
+        return chat_loop(eng, args)
 
     agg = dict(ptok=0.0, otok=0.0, ps=0.0, ds=0.0)
     for r in range(rounds):

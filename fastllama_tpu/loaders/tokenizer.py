@@ -76,6 +76,15 @@ class Tokenizer:
         # C++ inserts in order and operator[] overwrites, so LAST duplicate
         # wins — match dict semantics above (same behaviour).
         self._underline_id = self._text2id.get(self.conn_tag, -1)
+        # native fast path for the greedy merge loop (csrc/ftl_native.cpp);
+        # falls back to the pure-Python encode below when unavailable
+        self._native = None
+        try:
+            from fastllama_tpu.loaders.native import NativeEncoder
+            self._native = NativeEncoder(self.index_texts, self.scores,
+                                         self.bos_token_id, self.conn_tag)
+        except Exception:
+            self._native = None
         return self
 
     @staticmethod
@@ -107,6 +116,14 @@ class Tokenizer:
                ) -> List[int]:
         if not text:
             return []
+        if self._native is not None:
+            try:
+                tokens = self._native.encode(text, add_bos)
+                if add_eos:
+                    tokens.append(self.eos_token_id)
+                return tokens
+            except Exception:
+                pass  # fall through to the Python reference implementation
         tokens: List[int] = []
         if add_bos:
             tokens.append(self.bos_token_id)

@@ -127,8 +127,8 @@ class Engine:
             cfg, mm, at = self.config, self._mm, self._attn
             mi, ai, cdt = self._mm_idx, self._attn_idx, self._cdt
 
-            def f(params, tokens, cache, length):
-                lg, cache = forward(cfg, params, tokens, 0, cache, mm=mm,
+            def f(params, tokens, cache, length, pos):
+                lg, cache = forward(cfg, params, tokens, pos, cache, mm=mm,
                                     attn=at, mm_idx=mi, attn_idx=ai,
                                     compute_dtype=cdt)
                 return logits_at(lg, length), cache
@@ -212,7 +212,7 @@ class Engine:
         t0 = time.perf_counter()
         cache = self.new_cache()
         last_logits, cache = self._get_prefill(bucket)(
-            self.params, jnp.asarray(padded), cache, len(tokens))
+            self.params, jnp.asarray(padded), cache, len(tokens), 0)
         pos = len(tokens)
         prev_token = tokens[-1]
 
@@ -275,3 +275,88 @@ class Engine:
     def generate_text(self, prompt: str, **kw) -> str:
         toks, _ = self.generate(prompt, **kw)
         return self.tokenizer.decode(toks)
+
+
+class ChatSession:
+    """Multi-turn session with a persistent KV cache (the CLI chat mode's
+    backend; the reference's Mode::CHAT re-runs the whole history each turn —
+    here history stays resident in the cache)."""
+
+    def __init__(self, engine: Engine, system_prompt: str = ""):
+        self.engine = engine
+        self.cache = engine.new_cache()
+        self.pos = 0
+        self._last_logits = None
+        if system_prompt:
+            self.feed(engine.tokenizer.encode(system_prompt, add_bos=True))
+        else:
+            self.feed([engine.tokenizer.bos_token_id])
+
+    def remaining(self) -> int:
+        return self.engine.config.max_seq_len - self.pos
+
+    def feed(self, tokens: Sequence[int]) -> None:
+        """Prefill tokens at the current position (no sampling)."""
+        eng = self.engine
+        if not tokens:
+            return
+        if len(tokens) >= self.remaining():
+            raise ValueError("context window exhausted")
+        bucket = eng._bucket(len(tokens))
+        padded = np.zeros(bucket, np.int32)
+        padded[:len(tokens)] = tokens
+        self._last_logits, self.cache = eng._get_prefill(bucket)(
+            eng.params, jnp.asarray(padded), self.cache, len(tokens), self.pos)
+        self.pos += len(tokens)
+
+    def generate(self, text: str, max_new_tokens: int = 256,
+                 temperature: float = 0.8, topp: float = 0.9,
+                 seed: int = 128391297, callback=None) -> str:
+        """Feed a user turn, stream assistant tokens until EOS.
+
+        Invariant: ``self.pos`` counts tokens whose K/V rows are valid in the
+        cache; rows past it are stale and masked.  ``pending`` is the sampled
+        next token, not yet in the cache."""
+        eng = self.engine
+        toks = eng.tokenizer.encode(text, add_bos=False)
+        if toks:
+            self.feed(toks)
+        max_new_tokens = min(max_new_tokens, self.remaining() - 2)
+
+        rng = jax.random.PRNGKey(seed + self.pos)
+        rng, sub = jax.random.split(rng)
+        pending = int(sampling.sample(self._last_logits, sub, temperature,
+                                      topp))
+        stop = {0, eng.tokenizer.eos_token_id}
+        out: List[int] = []
+        prev = toks[-1] if toks else -1
+
+        while pending not in stop and len(out) < max_new_tokens:
+            out.append(pending)
+            if callback is not None:
+                callback(eng.tokenizer.decode_one(pending, prev))
+            prev = pending
+
+            n = min(DEFAULT_DECODE_CHUNK, max_new_tokens - len(out) + 1,
+                    self.remaining() - 1)
+            if n < 1:
+                break
+            fn = eng._get_decode_chunk(n, temperature, topp)
+            toks_out, self.cache, rng = fn(
+                eng.params, self.cache, jnp.asarray(pending, jnp.int32),
+                self.pos, rng)
+            seq = np.asarray(toks_out).tolist()
+            accepted = 1                      # pending's row was written
+            nxt = seq[-1]                     # not in cache
+            for t in seq[:-1]:
+                if int(t) in stop or len(out) >= max_new_tokens:
+                    nxt = int(t)
+                    break
+                out.append(int(t))
+                if callback is not None:
+                    callback(eng.tokenizer.decode_one(int(t), prev))
+                prev = int(t)
+                accepted += 1
+            self.pos += accepted
+            pending = int(nxt)
+        return eng.tokenizer.decode(out)

@@ -119,3 +119,27 @@ def test_cli_generate(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "output_speed" in out
+
+
+def test_chat_session_matches_fresh_generate(engine):
+    """A session turn must produce the same greedy continuation as a fresh
+    generate over the same token history (cache/pos bookkeeping check)."""
+    from fastllama_tpu.runtime.engine import ChatSession
+    sess = ChatSession(engine)
+    reply = sess.generate("the cat", max_new_tokens=8, temperature=0.0)
+
+    hist = [engine.tokenizer.bos_token_id] + \
+        engine.tokenizer.encode("the cat", add_bos=False)
+    ref_toks, _ = engine.generate(hist, max_new_tokens=8, temperature=0.0,
+                                  stop_tokens=(0, engine.tokenizer.eos_token_id))
+    assert reply == engine.tokenizer.decode(ref_toks)
+
+
+def test_chat_session_multi_turn(engine):
+    from fastllama_tpu.runtime.engine import ChatSession
+    sess = ChatSession(engine)
+    r1 = sess.generate("the cat", max_new_tokens=4, temperature=0.0)
+    pos_after_1 = sess.pos
+    r2 = sess.generate("the dog", max_new_tokens=4, temperature=0.0)
+    assert sess.pos > pos_after_1
+    assert isinstance(r1, str) and isinstance(r2, str)

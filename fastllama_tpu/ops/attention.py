@@ -67,3 +67,37 @@ def gqa_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                      precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32)
     return out.reshape(n_heads, T, hs).astype(q.dtype)
+
+
+def gqa_attention_batched(q: jax.Array, k_cache: jax.Array,
+                          v_cache: jax.Array, pos: jax.Array) -> jax.Array:
+    """Per-slot masked GQA attention (the continuous-batching decode path).
+
+    q:       (B, n_heads, T, hs) at absolute positions pos[b]..pos[b]+T-1,
+    caches:  (B, n_kv, S, hs) — slot b's rows >= pos[b]+T are stale,
+    pos:     (B,) int32.
+    Returns  (B, n_heads, T, hs) in q.dtype.
+    """
+    B, n_heads, T, hs = q.shape
+    _, n_kv, S, _ = k_cache.shape
+    hgs = n_heads // n_kv
+
+    qf = q.reshape(B, n_kv, hgs, T, hs).astype(jnp.float32)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+
+    scores = jnp.einsum("bkgth,bksh->bkgts", qf, kf,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / jnp.sqrt(jnp.float32(hs)))
+
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
+    mask = (s_idx[None] <= t_idx[None] + pos[:, None, None])       # (B, T, S)
+    scores = jnp.where(mask[:, None, None], scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgts,bksh->bkgth", probs, vf,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, n_heads, T, hs).astype(q.dtype)

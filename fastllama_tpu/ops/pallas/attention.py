@@ -149,6 +149,92 @@ def decode_attention_pallas_indexed(q: jax.Array, ck: jax.Array,
     return out.reshape(n_heads, 1, hs)
 
 
+def _decode_attn_kernel_bidx(scalars_ref, q_ref, k_ref, v_ref, o_ref, *,
+                             scale: float):
+    """Batched layer-indexed decode attention: grid (slot, kv-head); slot b's
+    position comes from the scalar-prefetch vector (scalars = [layer,
+    pos_0..pos_{B-1}])."""
+    b = pl.program_id(0)
+    pos = scalars_ref[1 + b]
+    q = q_ref[0, 0].astype(jnp.float32)                 # (hgs, hs)
+    k = k_ref[0, 0, 0].astype(jnp.float32)              # (S, hs)
+    v = v_ref[0, 0, 0].astype(jnp.float32)
+    hgs, hs = q.shape
+    S = k.shape[0]
+
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, (hgs, S), 1)
+    scores = jnp.where(col <= pos, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o_ref[0, 0] = jax.lax.dot_general(
+        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def decode_attention_pallas_batched(q: jax.Array, ck: jax.Array,
+                                    cv: jax.Array, pos: jax.Array, layer,
+                                    interpret: bool = False) -> jax.Array:
+    """Per-slot decode attention over the FULL stacked batched cache.
+
+    q: (B, n_heads, 1, hs); caches: (L, B, n_kv, S, hs); pos: (B,) int32;
+    layer: traced scalar.  Slot b attends to its own cache rows <= pos[b].
+    Returns (B, n_heads, 1, hs) in q.dtype."""
+    B, n_heads, T, hs = q.shape
+    L, Bc, n_kv, S, _ = ck.shape
+    hgs = n_heads // n_kv
+    qh = q.reshape(B, n_kv, hgs, hs)
+    scalars = jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
+                               pos.astype(jnp.int32)])
+
+    kernel = functools.partial(_decode_attn_kernel_bidx,
+                               scale=1.0 / float(hs) ** 0.5)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, hgs, hs), lambda b, h, s: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, S, hs), lambda b, h, s: (s[0], b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, S, hs), lambda b, h, s: (s[0], b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hgs, hs), lambda b, h, s: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, n_kv, hgs, hs), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_heads * S * hs * 2,
+            bytes_accessed=2 * B * n_kv * S * hs * ck.dtype.itemsize,
+            transcendentals=B * n_heads * S),
+        interpret=interpret,
+    )(scalars, qh, ck, cv)
+    return out.reshape(B, n_heads, 1, hs)
+
+
+def make_attn_batched(interpret: bool = False):
+    """attn_bidx(q, ck, cv, pos, layer) drop-in for models.batched.decode_step:
+    the fused batched kernel where shapes allow, jnp fallback otherwise."""
+    from fastllama_tpu.ops.attention import gqa_attention_batched
+
+    def attn_bidx(q, ck, cv, pos, layer):
+        if q.shape[2] == 1 and q.shape[3] % 8 == 0:
+            return decode_attention_pallas_batched(q, ck, cv, pos, layer,
+                                                   interpret)
+        ck_l = jax.lax.dynamic_index_in_dim(ck, layer, 0, keepdims=False)
+        cv_l = jax.lax.dynamic_index_in_dim(cv, layer, 0, keepdims=False)
+        return gqa_attention_batched(q, ck_l, cv_l, pos)
+
+    return attn_bidx
+
+
 def make_attn_indexed(interpret: bool = False):
     """attn_idx(q, ck_full, cv_full, pos, layer) — fused kernel for T=1,
     slice + jnp fallback for prefill."""

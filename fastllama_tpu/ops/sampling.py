@@ -46,3 +46,34 @@ def sample(logits: jax.Array, key: jax.Array, temperature: float,
     if temperature == 0.0:
         return greedy(logits)
     return sample_top_p(logits, key, temperature, top_p)
+
+
+def sample_dynamic(logits: jax.Array, key: jax.Array, temperature: jax.Array,
+                   top_p: jax.Array) -> jax.Array:
+    """Sampling with **traced** temperature/top_p scalars — the continuous-
+    batching path, where each slot carries its own request's sampling params
+    and they must not trigger recompilation.  Semantics match :func:`sample`:
+    temperature <= 0 is greedy; top_p >= 1 disables the nucleus filter
+    (the cutoff falls to the smallest probability, keeping every token)."""
+    lf = logits.astype(jnp.float32)
+    g = greedy(lf)
+    scaled = lf / jnp.maximum(temperature, 1e-6)
+    probs = jax.nn.softmax(scaled, axis=-1)
+    tp = jnp.clip(top_p, 1e-9, 1.0)
+    sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    keep_mass = cum - sorted_probs < tp
+    cutoff = jnp.min(jnp.where(keep_mass, sorted_probs, 1.0), axis=-1,
+                     keepdims=True)
+    masked = jnp.where(probs >= cutoff, scaled, -jnp.inf)
+    s = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+    return jnp.where(temperature <= 0.0, g, s)
+
+
+def sample_batched(logits: jax.Array, keys: jax.Array, temperatures: jax.Array,
+                   top_ps: jax.Array) -> jax.Array:
+    """Per-slot sampling over a batch of logits rows.
+
+    logits (B, V); keys (B, 2) PRNG keys; temperatures/top_ps (B,) traced.
+    Returns (B,) int32 tokens."""
+    return jax.vmap(sample_dynamic)(logits, keys, temperatures, top_ps)

@@ -1,0 +1,344 @@
+"""Continuous batching: a slot-based scheduler over the batched forward.
+
+The reference engine serves exactly one stream (``generate``,
+transformer.cpp:76-103).  On TPU, decode throughput is HBM-bound — every step
+streams all weights once regardless of batch — so serving B streams costs
+barely more than one until KV-cache traffic dominates.  This module is the
+aggregate-throughput serving layer:
+
+* :class:`Request` — one generation job (prompt, sampling params, stream
+  callback, collected output).
+* :class:`BatchedEngine` — owns ``B`` cache slots.  Each :meth:`step` admits
+  queued requests into free slots (one padded prefill per admission, writing
+  K/V into that slot from position 0) and then runs ONE decode chunk of K
+  tokens for ALL slots (a ``lax.scan`` with on-device per-slot sampling —
+  traced temperature/top-p vectors, so mixed sampling params never
+  recompile).  Requests join and leave at chunk boundaries; idle slots decode
+  garbage that is discarded on host (SPMD can't skip them, and the cost is
+  amortized across the live slots).
+
+Slot-state invariants (host mirrors device exactly):
+  ``pos[b]``  = number of K/V rows valid in slot b's cache,
+  ``pending[b]`` = last sampled token, NOT yet written to the cache; the next
+  decode step writes its K/V row at ``pos[b]`` and samples the following
+  token.  Device positions advance ``min(pos+1, S-1)`` per step and the host
+  replays the same arithmetic.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastllama_tpu.config import EngineConfig, ModelConfig, QuantType
+from fastllama_tpu.loaders.registry import FileType, load_model
+from fastllama_tpu.loaders.tokenizer import Tokenizer
+from fastllama_tpu.models.batched import (BatchedKVCache, decode_step,
+                                          prefill_into_slot)
+from fastllama_tpu.models.llama import LlamaParams
+from fastllama_tpu.ops import sampling
+from fastllama_tpu.ops.qmatmul import qmatmul
+
+DEFAULT_CHUNK = 16
+
+
+@dataclasses.dataclass
+class Request:
+    """One generation job tracked through the scheduler."""
+
+    id: int
+    prompt_tokens: List[int]
+    max_new_tokens: int
+    temperature: float = 0.0
+    topp: float = 0.9
+    seed: int = 128391297
+    callback: Optional[Callable[[str, int], object]] = None
+    stop_tokens: Tuple[int, ...] = ()
+
+    # filled by the engine
+    output_tokens: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+    submit_s: float = 0.0
+    first_token_s: float = 0.0     # TTFT (submit -> first emitted token)
+    finish_s: float = 0.0
+    _prev_token: int = -1
+
+    @property
+    def ttft(self) -> float:
+        return self.first_token_s - self.submit_s
+
+    def text(self, tokenizer: Tokenizer) -> str:
+        return tokenizer.decode(self.output_tokens)
+
+
+@dataclasses.dataclass
+class BatchStats:
+    """Aggregate serving statistics."""
+
+    completed: int = 0
+    total_prompt_tokens: int = 0
+    total_output_tokens: int = 0
+    decode_s: float = 0.0
+    prefill_s: float = 0.0
+
+    @property
+    def aggregate_tps(self) -> float:
+        return (self.total_output_tokens / self.decode_s
+                if self.decode_s else 0.0)
+
+
+class BatchedEngine:
+    """Continuous-batching engine over ``max_batch_size`` KV-cache slots."""
+
+    def __init__(self, config: ModelConfig, params: LlamaParams,
+                 tokenizer: Tokenizer,
+                 engine_config: Optional[EngineConfig] = None,
+                 decode_chunk: int = DEFAULT_CHUNK):
+        ec = engine_config or EngineConfig()
+        if ec.max_seq_len:
+            config = config.replace(max_seq_len=min(config.max_seq_len,
+                                                    ec.max_seq_len))
+        config.validate()
+        self.config = config
+        self.B = max(1, ec.max_batch_size)
+        if ec.fuse_weights and not ec.parity_mode:
+            from fastllama_tpu.models.llama import fuse_params
+            params = fuse_params(config, params)
+        self.params = params
+        self.tokenizer = tokenizer
+        self.ec = ec
+        self.decode_chunk = decode_chunk
+        self.kv_dtype = jnp.dtype(ec.kv_dtype)
+        self._cdt = jnp.dtype(ec.compute_dtype)
+
+        self._mm = None
+        self._mm_idx = None
+        self._attn_bidx = None
+        if ec.use_pallas and jax.default_backend() not in ("cpu",):
+            from fastllama_tpu.ops.pallas.attention import make_attn_batched
+            from fastllama_tpu.ops.pallas.qmm import make_mm, make_mm_indexed
+            self._mm = make_mm(compute_dtype=self._cdt)
+            self._mm_idx = make_mm_indexed(compute_dtype=self._cdt)
+            self._attn_bidx = make_attn_batched()
+        if self._mm is None:
+            from functools import partial
+            self._mm = partial(qmatmul, compute_dtype=self._cdt)
+
+        # device state
+        self.cache = BatchedKVCache.create(config, self.B, dtype=self.kv_dtype)
+        self._keys = jax.random.split(jax.random.PRNGKey(0), self.B)
+
+        # host slot state
+        S = config.max_seq_len
+        self.S = S
+        self.slot_req: List[Optional[Request]] = [None] * self.B
+        self.pos = np.zeros(self.B, np.int32)
+        self.pending = np.zeros(self.B, np.int32)
+        self.temps = np.zeros(self.B, np.float32)
+        self.topps = np.ones(self.B, np.float32)
+
+        self.queue: List[Request] = []
+        self.stats = BatchStats()
+        self._next_id = 0
+        self._prefill_fns = {}
+        self._chunk_fns = {}
+
+    # -- loading -------------------------------------------------------------
+
+    @staticmethod
+    def load(ckpt_path: str, tokenizer_path: str = "",
+             file_type: FileType = FileType.UNKNOWN,
+             qtype: Optional[QuantType] = None,
+             engine_config: Optional[EngineConfig] = None,
+             decode_chunk: int = DEFAULT_CHUNK,
+             device_put=None) -> "BatchedEngine":
+        m = load_model(ckpt_path, tokenizer_path, file_type)
+        cfg = m.config
+        if qtype is not None and cfg.quant_type == QuantType.NONE:
+            cfg = cfg.replace(quant_type=qtype)
+        elif m.file_type in (FileType.FLM, FileType.GGUF) \
+                and cfg.quant_type != QuantType.NONE:
+            qtype = cfg.quant_type
+        params = m.build(qtype, device_put=device_put)
+        return BatchedEngine(cfg, params, m.tokenizer, engine_config,
+                             decode_chunk)
+
+    # -- compiled steps --------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self.ec.prefill_buckets:
+            if b >= n and b <= self.S:
+                return b
+        return self.S
+
+    def _get_prefill(self, bucket: int):
+        if bucket not in self._prefill_fns:
+            cfg, mm, mi, cdt = self.config, self._mm, self._mm_idx, self._cdt
+
+            def f(params, tokens, length, slot, cache, key, temp, topp):
+                logits, cache = prefill_into_slot(
+                    cfg, params, tokens, length, slot, cache,
+                    mm=mm, mm_idx=mi, compute_dtype=cdt)
+                tok = sampling.sample_dynamic(logits, key, temp, topp)
+                return tok, cache
+
+            self._prefill_fns[bucket] = jax.jit(f, donate_argnums=(4,))
+        return self._prefill_fns[bucket]
+
+    def _get_chunk(self, n_steps: int, greedy_only: bool):
+        key_ = (n_steps, greedy_only)
+        if key_ not in self._chunk_fns:
+            cfg, mm, mi, ab = (self.config, self._mm, self._mm_idx,
+                               self._attn_bidx)
+            cdt, S = self._cdt, self.S
+
+            def chunk(params, cache, tokens, pos, keys, temps, topps):
+                def body(carry, _):
+                    tok, pos, cache, keys = carry
+                    logits, cache = decode_step(
+                        cfg, params, tok, pos, cache,
+                        mm=mm, mm_idx=mi, attn_bidx=ab, compute_dtype=cdt)
+                    if greedy_only:
+                        nxt = sampling.greedy(logits)
+                    else:
+                        splits = jax.vmap(jax.random.split)(keys)
+                        keys = splits[:, 0]
+                        nxt = sampling.sample_batched(
+                            logits, splits[:, 1], temps, topps)
+                    pos = jnp.minimum(pos + 1, S - 1)
+                    return (nxt, pos, cache, keys), nxt
+
+                (tok, pos, cache, keys), toks = jax.lax.scan(
+                    body, (tokens, pos, cache, keys), length=n_steps)
+                return toks, cache, keys
+
+            self._chunk_fns[key_] = jax.jit(chunk, donate_argnums=(1,))
+        return self._chunk_fns[key_]
+
+    # -- scheduling ------------------------------------------------------------
+
+    def submit(self, prompt, max_new_tokens: int = 256,
+               temperature: float = 0.0, topp: float = 0.9,
+               seed: int = 128391297,
+               stop_tokens: Optional[Sequence[int]] = None,
+               callback=None) -> Request:
+        """Queue a generation job; returns the live Request handle."""
+        tokens = (self.tokenizer.encode(prompt, add_bos=True)
+                  if isinstance(prompt, str) else list(prompt))
+        if not tokens:
+            raise ValueError("empty prompt")
+        if len(tokens) >= self.S:
+            raise ValueError(f"prompt too long: {len(tokens)} >= {self.S}")
+        if stop_tokens is None:
+            stop_tokens = (0, self.tokenizer.eos_token_id)
+        req = Request(
+            id=self._next_id, prompt_tokens=tokens,
+            max_new_tokens=min(max_new_tokens, self.S - len(tokens) - 1),
+            temperature=temperature, topp=topp, seed=seed,
+            callback=callback, stop_tokens=tuple(int(t) for t in stop_tokens),
+            submit_s=time.perf_counter())
+        self._next_id += 1
+        self.queue.append(req)
+        return req
+
+    def _free_slots(self) -> List[int]:
+        return [b for b, r in enumerate(self.slot_req) if r is None]
+
+    def _live_slots(self) -> List[int]:
+        return [b for b, r in enumerate(self.slot_req) if r is not None]
+
+    def _admit(self, req: Request, slot: int) -> None:
+        t0 = time.perf_counter()
+        toks = req.prompt_tokens
+        bucket = self._bucket(len(toks))
+        padded = np.zeros(bucket, np.int32)
+        padded[:len(toks)] = toks
+        key = jax.random.PRNGKey(req.seed)
+        tok, self.cache = self._get_prefill(bucket)(
+            self.params, jnp.asarray(padded), len(toks), slot, self.cache,
+            key, jnp.float32(req.temperature), jnp.float32(req.topp))
+        self._keys = self._keys.at[slot].set(
+            jax.random.fold_in(key, req.id + 1))
+        self.slot_req[slot] = req
+        self.pos[slot] = len(toks)
+        self.temps[slot] = req.temperature
+        self.topps[slot] = req.topp
+        first = int(tok)
+        self.pending[slot] = first
+        self.stats.prefill_s += time.perf_counter() - t0
+        self.stats.total_prompt_tokens += len(toks)
+        # the sampled-first token is emitted immediately (it exists even if
+        # it's a stop token — mirroring Engine.generate's emit-then-check)
+        self._emit(slot, first)
+
+    def _emit(self, slot: int, tok: int) -> None:
+        """Append one accepted token to slot's request; free on stop/limit."""
+        req = self.slot_req[slot]
+        if not req.output_tokens:
+            req.first_token_s = time.perf_counter()
+        req.output_tokens.append(tok)
+        self.stats.total_output_tokens += 1
+        if req.callback is not None:
+            text = self.tokenizer.decode_one(tok, req._prev_token)
+            req.callback(text, tok)
+        req._prev_token = tok
+        if tok in req.stop_tokens or len(req.output_tokens) >= req.max_new_tokens:
+            req.done = True
+            req.finish_s = time.perf_counter()
+            self.slot_req[slot] = None
+            self.stats.completed += 1
+
+    def step(self) -> bool:
+        """Admit queued requests, run one decode chunk.  Returns True while
+        any work (live or queued) remains."""
+        for slot in self._free_slots():
+            if not self.queue:
+                break
+            self._admit(self.queue.pop(0), slot)
+
+        live = self._live_slots()
+        if not live:
+            return bool(self.queue)
+
+        K = min(self.decode_chunk,
+                min(self.S - 1 - int(self.pos[b]) for b in live),
+                max(req.max_new_tokens - len(req.output_tokens)
+                    for req in (self.slot_req[b] for b in live)))
+        K = max(K, 1)
+        greedy_only = all(self.slot_req[b].temperature <= 0.0 for b in live)
+
+        t0 = time.perf_counter()
+        fn = self._get_chunk(K, greedy_only)
+        toks, self.cache, self._keys = fn(
+            self.params, self.cache, jnp.asarray(self.pending),
+            jnp.asarray(self.pos), self._keys,
+            jnp.asarray(self.temps), jnp.asarray(self.topps))
+        toks_np = np.asarray(toks)                      # (K, B)
+        self.stats.decode_s += time.perf_counter() - t0
+
+        # host mirrors the device position arithmetic for every slot
+        self.pos = np.minimum(self.pos + K, self.S - 1)
+        self.pending = toks_np[-1].copy()
+
+        for b in live:
+            for k in range(K):
+                if self.slot_req[b] is None:
+                    break                               # finished mid-chunk
+                self._emit(b, int(toks_np[k, b]))
+        return bool(self.queue) or bool(self._live_slots())
+
+    def run(self) -> BatchStats:
+        """Drain the queue to completion."""
+        while self.step():
+            pass
+        return self.stats
+
+    def generate_all(self, prompts: Sequence, **kw) -> List[Request]:
+        """Convenience: submit prompts, run to completion, return requests."""
+        reqs = [self.submit(p, **kw) for p in prompts]
+        self.run()
+        return reqs

@@ -1,0 +1,221 @@
+"""Continuous-batching tests: batched forward parity with the single-stream
+engine, staggered admission through slots, per-slot sampling params, and the
+batched Pallas decode-attention kernel (interpret mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastllama_tpu.config import EngineConfig, ModelConfig, QuantType
+from fastllama_tpu.loaders.registry import FileType
+from fastllama_tpu.models.batched import (BatchedKVCache, decode_step,
+                                          prefill_into_slot)
+from fastllama_tpu.models.llama import random_params
+from fastllama_tpu.ops import sampling
+from fastllama_tpu.ops.attention import gqa_attention_batched
+from fastllama_tpu.runtime.batching import BatchedEngine
+from fastllama_tpu.runtime.engine import Engine
+from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+PROMPTS = ["the cat sat", "a big dog", "once upon a", "hello world",
+           "the end of"]
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    d = tmp_path_factory.mktemp("batch_ckpt")
+    return write_tiny_llama2c(str(d))
+
+
+# fp32 compute: single-stream and batched paths reduce over different shapes
+# (prefill attends the 64-row cache vs the prompt bucket), so bf16 rounding
+# can flip near-ties of this random tiny model; fp32 keeps greedy bit-stable.
+@pytest.fixture(scope="module")
+def single(ckpt):
+    return Engine.load(ckpt[0], ckpt[1], FileType.LLAMA2C, QuantType.INT8,
+                       EngineConfig(max_seq_len=64, compute_dtype="float32"))
+
+
+@pytest.fixture(scope="module")
+def batched(ckpt):
+    return BatchedEngine.load(
+        ckpt[0], ckpt[1], FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=2,
+                     compute_dtype="float32"), decode_chunk=4)
+
+
+def _reset(eng: BatchedEngine):
+    eng.queue.clear()
+    eng.slot_req = [None] * eng.B
+    eng.pos[:] = 0
+    eng.pending[:] = 0
+
+
+def test_batched_matches_single_greedy(single, batched):
+    _reset(batched)
+    want = {p: single.generate(p, max_new_tokens=10, temperature=0.0,
+                               stop_tokens=())[0] for p in PROMPTS[:2]}
+    reqs = batched.generate_all(PROMPTS[:2], max_new_tokens=10,
+                                temperature=0.0, stop_tokens=())
+    for req, p in zip(reqs, PROMPTS[:2]):
+        assert req.done
+        assert req.output_tokens == want[p], p
+
+
+def test_staggered_admission(single, batched):
+    """5 requests through 2 slots: later requests join as earlier ones free
+    their slot; every output must still match the single-stream engine."""
+    _reset(batched)
+    want = {p: single.generate(p, max_new_tokens=8, temperature=0.0,
+                               stop_tokens=())[0] for p in PROMPTS}
+    reqs = [batched.submit(p, max_new_tokens=8, temperature=0.0,
+                           stop_tokens=()) for p in PROMPTS]
+    batched.run()
+    for req, p in zip(reqs, PROMPTS):
+        assert req.done
+        assert req.output_tokens == want[p], p
+    assert batched.stats.completed >= 5
+    assert batched.stats.total_output_tokens >= 5 * 8
+
+
+def test_stop_token_frees_slot(single, batched):
+    _reset(batched)
+    base = single.generate(PROMPTS[0], max_new_tokens=12, temperature=0.0,
+                           stop_tokens=())[0]
+    stop = base[3]
+    req = batched.submit(PROMPTS[0], max_new_tokens=12, temperature=0.0,
+                         stop_tokens=(stop,))
+    batched.run()
+    assert req.done
+    assert req.output_tokens == base[:base.index(stop) + 1]
+    assert all(r is None for r in batched.slot_req)
+
+
+def test_mixed_sampling_params(batched):
+    """Greedy and sampled requests coexist in one batch; the greedy one must
+    be deterministic regardless of its neighbour."""
+    _reset(batched)
+    greedy_alone = batched.generate_all([PROMPTS[1]], max_new_tokens=8,
+                                        temperature=0.0, stop_tokens=())
+    _reset(batched)
+    r_greedy = batched.submit(PROMPTS[1], max_new_tokens=8, temperature=0.0,
+                              stop_tokens=())
+    r_sampled = batched.submit(PROMPTS[2], max_new_tokens=8, temperature=0.9,
+                               topp=0.8, seed=7, stop_tokens=())
+    batched.run()
+    assert r_greedy.output_tokens == greedy_alone[0].output_tokens
+    assert len(r_sampled.output_tokens) == 8
+    assert all(0 <= t < batched.config.vocab_size
+               for t in r_sampled.output_tokens)
+
+
+def test_callback_and_ttft(batched):
+    _reset(batched)
+    seen = []
+    req = batched.submit(PROMPTS[3], max_new_tokens=6, temperature=0.0,
+                         stop_tokens=(), callback=lambda txt, tok: seen.append(tok))
+    batched.run()
+    assert seen == req.output_tokens
+    assert req.ttft >= 0.0
+    assert req.finish_s >= req.first_token_s
+
+
+# -- model-level parity ------------------------------------------------------
+
+def _tiny_cfg():
+    return ModelConfig(dim=32, hidden_dim=64, n_layers=2, n_heads=4,
+                       n_kv_heads=2, vocab_size=96, max_seq_len=24,
+                       quant_type=QuantType.NONE, group_size=8)
+
+
+def test_decode_step_matches_forward():
+    """decode_step over B slots == B independent single-stream forwards."""
+    from fastllama_tpu.models.llama import KVCache, forward
+
+    cfg = _tiny_cfg()
+    params = random_params(cfg, seed=3, qtype=QuantType.NONE)
+    B = 3
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, cfg.vocab_size, size=n).tolist()
+               for n in (3, 5, 2)]
+
+    # single-stream references
+    refs = []
+    for p in prompts:
+        cache = KVCache.create(cfg)
+        lg, cache = forward(cfg, params, jnp.asarray(p, jnp.int32), 0, cache)
+        toks = [int(jnp.argmax(lg[-1]))]
+        pos = len(p)
+        for _ in range(4):
+            lg, cache = forward(cfg, params,
+                                jnp.asarray([toks[-1]], jnp.int32), pos, cache)
+            toks.append(int(jnp.argmax(lg[0])))
+            pos += 1
+        refs.append(toks)
+
+    # batched: prefill each prompt into its slot, then joint decode steps
+    bc = BatchedKVCache.create(cfg, B)
+    pending = np.zeros(B, np.int32)
+    pos = np.zeros(B, np.int32)
+    for b, p in enumerate(prompts):
+        logits, bc = prefill_into_slot(cfg, params, jnp.asarray(p, jnp.int32),
+                                       len(p), b, bc)
+        pending[b] = int(jnp.argmax(logits))
+        pos[b] = len(p)
+    outs = [[int(pending[b])] for b in range(B)]
+    for _ in range(4):
+        lg, bc = decode_step(cfg, params, jnp.asarray(pending),
+                             jnp.asarray(pos), bc)
+        pending = np.asarray(jnp.argmax(lg, axis=-1), np.int32)
+        pos += 1
+        for b in range(B):
+            outs[b].append(int(pending[b]))
+
+    assert outs == refs
+
+
+def test_prefill_pads_are_harmless():
+    """Padded prefill (T > length) must give the same last-token logits."""
+    cfg = _tiny_cfg()
+    params = random_params(cfg, seed=5, qtype=QuantType.NONE)
+    toks = [5, 9, 2]
+    bc1 = BatchedKVCache.create(cfg, 2)
+    lg1, _ = prefill_into_slot(cfg, params, jnp.asarray(toks, jnp.int32),
+                               3, 0, bc1)
+    padded = jnp.asarray(toks + [7, 7, 7, 7, 7], jnp.int32)
+    bc2 = BatchedKVCache.create(cfg, 2)
+    lg2, _ = prefill_into_slot(cfg, params, padded, 3, 0, bc2)
+    np.testing.assert_allclose(np.asarray(lg1), np.asarray(lg2),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sample_dynamic_semantics():
+    key = jax.random.PRNGKey(0)
+    logits = jax.random.normal(key, (50,)) * 3.0
+    g = sampling.greedy(logits)
+    assert int(sampling.sample_dynamic(logits, key, jnp.float32(0.0),
+                                       jnp.float32(0.9))) == int(g)
+    s_static = sampling.sample_top_p(logits, key, 0.8, 0.7)
+    s_dyn = sampling.sample_dynamic(logits, key, jnp.float32(0.8),
+                                    jnp.float32(0.7))
+    assert int(s_static) == int(s_dyn)
+
+
+def test_batched_pallas_attention_interpret():
+    from fastllama_tpu.ops.pallas.attention import \
+        decode_attention_pallas_batched
+
+    B, L, n_kv, hgs, S, hs = 3, 2, 2, 2, 16, 8
+    n_heads = n_kv * hgs
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (B, n_heads, 1, hs), jnp.float32)
+    ck = jax.random.normal(ks[1], (L, B, n_kv, S, hs), jnp.float32)
+    cv = jax.random.normal(ks[2], (L, B, n_kv, S, hs), jnp.float32)
+    pos = jnp.asarray([3, 0, 15], jnp.int32)
+    for layer in (0, 1):
+        got = decode_attention_pallas_batched(q, ck, cv, pos, layer,
+                                              interpret=True)
+        want = gqa_attention_batched(q, ck[layer], cv[layer], pos)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)

@@ -8,7 +8,8 @@ spike).  Baseline: the reference C++ engine's LLaMA2-7B INT8 headline of
 
 Env knobs: BENCH_CONFIG=7b|1b|110m (default 7b), BENCH_TOKENS (default 96),
 BENCH_CHUNK (default 32), BENCH_PROMPT (default 43 tokens, the reference's
-benchmark prompt length).
+benchmark prompt length), BENCH_BATCH (default 8: continuous-batching slots
+for the aggregate-throughput headline; 1 = single-stream engine only).
 """
 import json
 import os
@@ -48,11 +49,67 @@ CONFIGS = {
 BASELINE_TPS = {"7b": 25.0, "1b": 155.0, "110m": 440.0}  # reference README.md:98-100
 
 
+def bench_single(cfg, params, n_tokens, chunk, prompt):
+    """Single-stream decode tok/s (the reference's own benchmark shape)."""
+    eng = Engine(cfg, params, Tokenizer().finalize(),
+                 EngineConfig(max_seq_len=1024, kv_dtype="bfloat16"))
+    # warmup: compiles prefill + decode chunk and pays the tunnel's
+    # first-execution overhead on every executable
+    t0 = time.perf_counter()
+    eng.generate(prompt, max_new_tokens=n_tokens, temperature=0.0,
+                 stop_tokens=(), decode_chunk=chunk)
+    print(f"# warmup (compile) {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    toks, st = eng.generate(prompt, max_new_tokens=n_tokens, temperature=0.0,
+                            stop_tokens=(), decode_chunk=chunk)
+    assert len(toks) == n_tokens
+    print(f"# single-stream decode {st.decode_tps:.1f} tok/s, prefill "
+          f"{st.prefill_tps:.1f} tok/s (prompt={st.prompt_tokens}, "
+          f"out={st.output_tokens})", file=sys.stderr)
+    del eng
+    return st.decode_tps, st.prefill_tps
+
+
+def bench_batched(cfg, params, n_tokens, chunk, prompt, batch):
+    """Aggregate decode tok/s serving ``batch`` concurrent streams through
+    the continuous-batching engine (a capability the reference lacks —
+    it serves exactly one stream, transformer.cpp:76-103)."""
+    from fastllama_tpu.runtime.batching import BatchedEngine
+
+    eng = BatchedEngine(cfg, params, Tokenizer().finalize(),
+                        EngineConfig(max_seq_len=1024, kv_dtype="bfloat16",
+                                     max_batch_size=batch),
+                        decode_chunk=chunk)
+    # warmup: compile prefill + one full-size chunk
+    t0 = time.perf_counter()
+    for _ in range(batch):
+        eng.submit(prompt, max_new_tokens=chunk + 1, temperature=0.0,
+                   stop_tokens=())
+    eng.run()
+    print(f"# batched warmup (compile) {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+
+    eng.stats.decode_s = eng.stats.prefill_s = 0.0
+    eng.stats.total_output_tokens = 0
+    # n_tokens % chunk == 0 keeps every decode chunk at full size
+    for _ in range(batch):
+        eng.submit(prompt, max_new_tokens=n_tokens + 1, temperature=0.0,
+                   stop_tokens=())
+    eng.run()
+    agg = eng.stats.aggregate_tps
+    print(f"# aggregate decode {agg:.1f} tok/s over {batch} streams "
+          f"({eng.stats.total_output_tokens} tokens, "
+          f"prefill {eng.stats.prefill_s:.2f}s)", file=sys.stderr)
+    del eng
+    return agg
+
+
 def main():
     name = os.environ.get("BENCH_CONFIG", "7b")
     n_tokens = int(os.environ.get("BENCH_TOKENS", "128"))
     chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     prompt_len = int(os.environ.get("BENCH_PROMPT", "43"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
     cfg = CONFIGS[name]
 
     t0 = time.perf_counter()
@@ -61,34 +118,28 @@ def main():
     print(f"# params materialized in {time.perf_counter()-t0:.1f}s "
           f"on {jax.devices()[0]}", file=sys.stderr)
 
-    eng = Engine(cfg, params, Tokenizer().finalize(),
-                 EngineConfig(max_seq_len=1024, kv_dtype="bfloat16"))
     prompt = list(range(1, prompt_len + 1))
-
-    # warmup: compiles prefill + decode chunk and pays the tunnel's
-    # first-execution overhead on every executable
-    t0 = time.perf_counter()
-    eng.generate(prompt, max_new_tokens=n_tokens, temperature=0.0,
-                 stop_tokens=(), decode_chunk=chunk)
-    print(f"# warmup (compile) {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-
-    # timed run
-    toks, st = eng.generate(prompt, max_new_tokens=n_tokens, temperature=0.0,
-                            stop_tokens=(), decode_chunk=chunk)
-    assert len(toks) == n_tokens
-    tps = st.decode_tps
-    prefill_tps = st.prefill_tps
-    print(f"# decode {tps:.1f} tok/s, prefill {prefill_tps:.1f} tok/s "
-          f"(prompt={st.prompt_tokens}, out={st.output_tokens})",
-          file=sys.stderr)
+    tps, prefill_tps = bench_single(cfg, params, n_tokens, chunk, prompt)
 
     baseline = BASELINE_TPS[name]
-    print(json.dumps({
-        "metric": f"decode_tok_s_{name}_int8_1chip",
-        "value": round(tps, 2),
-        "unit": "tok/s",
-        "vs_baseline": round(tps / baseline, 3),
-    }))
+    if batch > 1:
+        agg = bench_batched(cfg, params, n_tokens - n_tokens % chunk or chunk,
+                            chunk, prompt, batch)
+        print(json.dumps({
+            "metric": f"aggregate_decode_tok_s_{name}_int8_1chip_b{batch}",
+            "value": round(agg, 2),
+            "unit": "tok/s",
+            "vs_baseline": round(agg / baseline, 3),
+            "single_stream_tok_s": round(tps, 2),
+            "single_stream_vs_baseline": round(tps / baseline, 3),
+        }))
+    else:
+        print(json.dumps({
+            "metric": f"decode_tok_s_{name}_int8_1chip",
+            "value": round(tps, 2),
+            "unit": "tok/s",
+            "vs_baseline": round(tps / baseline, 3),
+        }))
 
 
 if __name__ == "__main__":

@@ -110,6 +110,10 @@ class EngineConfig:
     # exact in bf16 and the MXU runs native-speed; parity tests pin float32.
     compute_dtype: str = "bfloat16"
     use_pallas: bool = True             # fused kernels on TPU; jnp fallback otherwise
+    # position-bounded KV streaming in decode attention (ops/pallas/
+    # flash_decode.py): skips HBM reads of cache blocks past each slot's
+    # position.  False = always-stream kernels (ops/pallas/attention.py).
+    flash_attention: bool = True
     # concat QKV + gate/up into single matmuls (single-mesh only).  Off by
     # default: on v5e the per-projection kernels pipeline slightly better;
     # useful for dispatch-bound tiny models.

@@ -118,12 +118,20 @@ class BatchedEngine:
         self._mm = None
         self._mm_idx = None
         self._attn_bidx = None
+        self._attn_bidx_factory = None
         if ec.use_pallas and jax.default_backend() not in ("cpu",):
-            from fastllama_tpu.ops.pallas.attention import make_attn_batched
             from fastllama_tpu.ops.pallas.qmm import make_mm, make_mm_indexed
             self._mm = make_mm(compute_dtype=self._cdt)
             self._mm_idx = make_mm_indexed(compute_dtype=self._cdt)
-            self._attn_bidx = make_attn_batched()
+            if ec.flash_attention:
+                from fastllama_tpu.ops.pallas.flash_decode import \
+                    make_attn_batched_flash
+                self._attn_bidx = make_attn_batched_flash()
+                self._attn_bidx_factory = make_attn_batched_flash
+            else:
+                from fastllama_tpu.ops.pallas.attention import \
+                    make_attn_batched
+                self._attn_bidx = make_attn_batched()
         if self._mm is None:
             from functools import partial
             self._mm = partial(qmatmul, compute_dtype=self._cdt)
@@ -189,11 +197,13 @@ class BatchedEngine:
             self._prefill_fns[bucket] = jax.jit(f, donate_argnums=(4,))
         return self._prefill_fns[bucket]
 
-    def _get_chunk(self, n_steps: int, greedy_only: bool):
-        key_ = (n_steps, greedy_only)
+    def _get_chunk(self, n_steps: int, greedy_only: bool, s_bound: int = 0):
+        key_ = (n_steps, greedy_only, s_bound)
         if key_ not in self._chunk_fns:
             cfg, mm, mi, ab = (self.config, self._mm, self._mm_idx,
                                self._attn_bidx)
+            if s_bound and self._attn_bidx_factory is not None:
+                ab = self._attn_bidx_factory(s_bound)
             cdt, S = self._cdt, self.S
 
             def chunk(params, cache, tokens, pos, keys, temps, topps):
@@ -290,6 +300,10 @@ class BatchedEngine:
             req.done = True
             req.finish_s = time.perf_counter()
             self.slot_req[slot] = None
+            # park the idle slot at position 0: under the flash-decode
+            # kernel an idle slot then streams one KV block, not max_seq
+            self.pos[slot] = 0
+            self.pending[slot] = 0
             self.stats.completed += 1
 
     def step(self) -> bool:
@@ -310,9 +324,13 @@ class BatchedEngine:
                     for req in (self.slot_req[b] for b in live)))
         K = max(K, 1)
         greedy_only = all(self.slot_req[b].temperature <= 0.0 for b in live)
+        s_bound = 0
+        if self._attn_bidx_factory is not None:
+            from fastllama_tpu.ops.pallas.flash_decode import round_bound
+            s_bound = round_bound(int(self.pos.max()) + K, self.S)
 
         t0 = time.perf_counter()
-        fn = self._get_chunk(K, greedy_only)
+        fn = self._get_chunk(K, greedy_only, s_bound)
         toks, self.cache, self._keys = fn(
             self.params, self.cache, jnp.asarray(self.pending),
             jnp.asarray(self.pos), self._keys,
@@ -323,6 +341,10 @@ class BatchedEngine:
         # host mirrors the device position arithmetic for every slot
         self.pos = np.minimum(self.pos + K, self.S - 1)
         self.pending = toks_np[-1].copy()
+        for b in range(self.B):
+            if self.slot_req[b] is None:        # park idle slots at 0 so the
+                self.pos[b] = 0                 # bounded attention window
+                self.pending[b] = 0             # stays tight
 
         for b in live:
             for k in range(K):

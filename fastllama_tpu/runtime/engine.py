@@ -73,16 +73,24 @@ class Engine:
         self.ec = ec
         self.kv_dtype = jnp.dtype(ec.kv_dtype)
         self._cdt = jnp.dtype(jnp.float32 if ec.parity_mode else ec.compute_dtype)
+        self._attn_idx_factory = None
         if ec.parity_mode:
             self._mm = qmatmul_parity
         elif ec.use_pallas and jax.default_backend() not in ("cpu",):
             from fastllama_tpu.ops.pallas.attention import make_attn
             from fastllama_tpu.ops.pallas.qmm import make_mm, make_mm_indexed
-            from fastllama_tpu.ops.pallas.attention import make_attn_indexed
             self._mm = make_mm(compute_dtype=self._cdt)
             self._mm_idx = make_mm_indexed(compute_dtype=self._cdt)
             self._attn = make_attn()
-            self._attn_idx = make_attn_indexed()
+            if ec.flash_attention:
+                from fastllama_tpu.ops.pallas.flash_decode import \
+                    make_attn_indexed_flash
+                self._attn_idx = make_attn_indexed_flash()
+                self._attn_idx_factory = make_attn_indexed_flash
+            else:
+                from fastllama_tpu.ops.pallas.attention import \
+                    make_attn_indexed
+                self._attn_idx = make_attn_indexed()
         else:
             self._mm = partial(qmatmul, compute_dtype=self._cdt)
         if not hasattr(self, "_attn"):
@@ -122,25 +130,34 @@ class Engine:
                 return b
         return self.config.max_seq_len
 
-    def _get_prefill(self, bucket: int):
-        if bucket not in self._prefill_fns:
+    def _get_prefill(self, bucket: int, fresh: bool = True):
+        """``fresh=True`` = prompt starts at pos 0 in an empty cache:
+        attention sees only the prompt's own K/V (no cache reads) and the
+        classifier runs on the last valid row only.  ``fresh=False`` is the
+        mid-sequence variant (ChatSession.feed at pos > 0)."""
+        key_ = (bucket, fresh)
+        if key_ not in self._prefill_fns:
             cfg, mm, at = self.config, self._mm, self._attn
             mi, ai, cdt = self._mm_idx, self._attn_idx, self._cdt
 
             def f(params, tokens, cache, length, pos):
                 lg, cache = forward(cfg, params, tokens, pos, cache, mm=mm,
                                     attn=at, mm_idx=mi, attn_idx=ai,
+                                    attend_fresh=fresh, last_index=length - 1,
                                     compute_dtype=cdt)
-                return logits_at(lg, length), cache
+                return lg[0], cache
 
-            self._prefill_fns[bucket] = jax.jit(f, donate_argnums=(2,))
-        return self._prefill_fns[bucket]
+            self._prefill_fns[key_] = jax.jit(f, donate_argnums=(2,))
+        return self._prefill_fns[key_]
 
-    def _get_decode_chunk(self, n_steps: int, temperature: float, topp: float):
-        key_ = (n_steps, temperature, topp)
+    def _get_decode_chunk(self, n_steps: int, temperature: float, topp: float,
+                          s_bound: int = 0):
+        key_ = (n_steps, temperature, topp, s_bound)
         if key_ not in self._decode_fns:
             cfg, mm, at = self.config, self._mm, self._attn
             mi, ai, cdt = self._mm_idx, self._attn_idx, self._cdt
+            if s_bound and self._attn_idx_factory is not None:
+                ai = self._attn_idx_factory(s_bound)
 
             def chunk(params, cache, token, pos0, rng):
                 def body(carry, _):
@@ -254,9 +271,12 @@ class Engine:
                     break
                 tok = jnp.asarray(nxt, jnp.int32)
         else:
+            from fastllama_tpu.ops.pallas.flash_decode import round_bound
             while len(out) < max_new_tokens:
                 n = min(decode_chunk, max_new_tokens - len(out))
-                fn = self._get_decode_chunk(n, temperature, topp)
+                sb = (round_bound(pos + n, cfg.max_seq_len)
+                      if self._attn_idx_factory else 0)
+                fn = self._get_decode_chunk(n, temperature, topp, sb)
                 toks, cache, rng = fn(self.params, cache, tok, pos, rng)
                 toks_np = np.asarray(toks)
                 stop = False
@@ -305,7 +325,8 @@ class ChatSession:
         bucket = eng._bucket(len(tokens))
         padded = np.zeros(bucket, np.int32)
         padded[:len(tokens)] = tokens
-        self._last_logits, self.cache = eng._get_prefill(bucket)(
+        self._last_logits, self.cache = eng._get_prefill(
+            bucket, fresh=(self.pos == 0))(
             eng.params, jnp.asarray(padded), self.cache, len(tokens), self.pos)
         self.pos += len(tokens)
 
@@ -341,7 +362,10 @@ class ChatSession:
                     self.remaining() - 1)
             if n < 1:
                 break
-            fn = eng._get_decode_chunk(n, temperature, topp)
+            from fastllama_tpu.ops.pallas.flash_decode import round_bound
+            sb = (round_bound(self.pos + n, eng.config.max_seq_len)
+                  if eng._attn_idx_factory else 0)
+            fn = eng._get_decode_chunk(n, temperature, topp, sb)
             toks_out, self.cache, rng = fn(
                 eng.params, self.cache, jnp.asarray(pending, jnp.int32),
                 self.pos, rng)

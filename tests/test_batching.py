@@ -219,3 +219,50 @@ def test_batched_pallas_attention_interpret():
         want = gqa_attention_batched(q, ck[layer], cv[layer], pos)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_flash_decode_interpret():
+    """Bounded-window flash kernel vs jnp reference: multi-block online
+    softmax, per-slot positions, layer selection, s_bound windows."""
+    from fastllama_tpu.ops.pallas.flash_decode import (flash_decode_batched,
+                                                       flash_decode_single)
+    from fastllama_tpu.ops.attention import gqa_attention
+
+    B, L, n_kv, hgs, S, hs = 3, 2, 2, 2, 64, 8
+    n_heads = n_kv * hgs
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    q = jax.random.normal(ks[0], (B, n_heads, 1, hs), jnp.float32)
+    ck = jax.random.normal(ks[1], (L, B, n_kv, S, hs), jnp.float32)
+    cv = jax.random.normal(ks[2], (L, B, n_kv, S, hs), jnp.float32)
+    pos = jnp.asarray([3, 0, 63], jnp.int32)
+    for layer in (0, 1):
+        got = flash_decode_batched(q, ck, cv, pos, layer, block_s=16,
+                                   interpret=True)
+        want = gqa_attention_batched(q, ck[layer], cv[layer], pos)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    # bounded window: positions < s_bound, identical result
+    pos2 = jnp.asarray([3, 0, 30], jnp.int32)
+    got = flash_decode_batched(q, ck, cv, pos2, 1, s_bound=32, block_s=16,
+                               interpret=True)
+    want = gqa_attention_batched(q, ck[1], cv[1], pos2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # single-stream wrapper
+    got = flash_decode_single(q[0], ck[:, 0], cv[:, 0], 3, 1, s_bound=16,
+                              block_s=16, interpret=True)
+    want = gqa_attention(q[0], ck[1, 0], cv[1, 0], 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_round_bound():
+    from fastllama_tpu.ops.pallas.flash_decode import round_bound
+    assert round_bound(0, 1024) == 1024
+    assert round_bound(1, 1024) == 256
+    assert round_bound(256, 1024) == 256
+    assert round_bound(257, 1024) == 512
+    assert round_bound(2000, 1024) == 1024
+    assert round_bound(5, 64) == 64  # S < block: whole cache

@@ -110,7 +110,14 @@ def main():
     chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     prompt_len = int(os.environ.get("BENCH_PROMPT", "43"))
     batch = int(os.environ.get("BENCH_BATCH", "8"))
+    quant = os.environ.get("BENCH_QUANT", "int8")
     cfg = CONFIGS[name]
+    if quant != "int8":
+        cfg = cfg.replace(quant_type=QuantType.parse(quant))
+    if cfg.quant_type == QuantType.INT4 and cfg.hidden_dim % 512:
+        # split-half nibble packing needs a 512-aligned contraction
+        # (loaders pad real checkpoints the same way, registry.py)
+        cfg = cfg.replace(hidden_dim=-(-cfg.hidden_dim // 512) * 512)
 
     t0 = time.perf_counter()
     params = random_params_int(cfg, seed=0)
@@ -122,11 +129,12 @@ def main():
     tps, prefill_tps = bench_single(cfg, params, n_tokens, chunk, prompt)
 
     baseline = BASELINE_TPS[name]
+    qname = cfg.quant_type.name.lower()
     if batch > 1:
         agg = bench_batched(cfg, params, n_tokens - n_tokens % chunk or chunk,
                             chunk, prompt, batch)
         print(json.dumps({
-            "metric": f"aggregate_decode_tok_s_{name}_int8_1chip_b{batch}",
+            "metric": f"aggregate_decode_tok_s_{name}_{qname}_1chip_b{batch}",
             "value": round(agg, 2),
             "unit": "tok/s",
             "vs_baseline": round(agg / baseline, 3),
@@ -135,7 +143,7 @@ def main():
         }))
     else:
         print(json.dumps({
-            "metric": f"decode_tok_s_{name}_int8_1chip",
+            "metric": f"decode_tok_s_{name}_{qname}_1chip",
             "value": round(tps, 2),
             "unit": "tok/s",
             "vs_baseline": round(tps / baseline, 3),

@@ -69,6 +69,15 @@ class LoadedModel:
     def build(self, qtype: Optional[QuantType] = None,
               device_put=None) -> LlamaParams:
         kw = {} if device_put is None else {"device_put": device_put}
+        qt = qtype if qtype is not None else self.config.quant_type
+        if qt == QuantType.INT4 and self.config.hidden_dim % 512:
+            # zero-pad hidden_dim to a 512 multiple so the FFN down
+            # projection's contraction axis tiles for nibble packing
+            # (exact: silu(0)*0 rows feed zero columns); updates self.config
+            from fastllama_tpu.parallel.sharding import pad_hidden_for_sharding
+            self.config = pad_hidden_for_sharding(
+                self.config, self.weights,
+                512 // self.config.group_size)
         return build_params(self.config, self.weights, qtype, **kw)
 
 

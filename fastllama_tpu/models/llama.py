@@ -98,7 +98,8 @@ def fuse_params(cfg: ModelConfig, params: LlamaParams) -> LlamaParams:
         if isinstance(ws[0], QArray):
             return QArray(jnp.concatenate([w.data for w in ws], axis=-1),
                           jnp.concatenate([w.scales for w in ws], axis=-1),
-                          ws[0].qtype, ws[0].group_size, ws[0].group_axis)
+                          ws[0].qtype, ws[0].group_size, ws[0].group_axis,
+                          ws[0].packed)
         return jnp.concatenate(ws, axis=-1)
 
     return dataclasses.replace(
@@ -333,7 +334,8 @@ def build_params(cfg: ModelConfig, raw: dict, qtype: Optional[QuantType] = None,
     ``qtype`` — the analogue of quantize-on-load (llama2c_loader.cpp:117-124)
     — and all projections are transposed to the TPU-native (in, out) layout.
     """
-    from fastllama_tpu.quant.groupquant import quantize_np, transpose_weight
+    from fastllama_tpu.quant.groupquant import (pack_int4_rows_np,
+                                                quantize_np, transpose_weight)
     qtype = qtype if qtype is not None else cfg.quant_type
     gs = cfg.group_size
     out = {}
@@ -355,9 +357,17 @@ def build_params(cfg: ModelConfig, raw: dict, qtype: Optional[QuantType] = None,
             data, scales = quantize_np(np.asarray(v, np.float32), qtype, gs)
         if transpose:
             data, scales = transpose_weight(data, scales)
+            # INT4 projections ship nibble-packed (half the HBM bytes) when
+            # the fused kernel can tile them; odd contraction extents (e.g.
+            # an unpadded hidden_dim) stay int8-held
+            from fastllama_tpu.ops.pallas.qmm import pack_supported
+            packed = (qtype == QuantType.INT4
+                      and pack_supported(data.shape[-2], data.shape[-1], gs))
+            if packed:
+                data = pack_int4_rows_np(data)
             out[f.name] = QArray(device_put(data),
                                  device_put(scales.astype(np.float32)),
-                                 qtype, gs, group_axis=-2)
+                                 qtype, gs, group_axis=-2, packed=packed)
         else:
             out[f.name] = QArray(device_put(data),
                                  device_put(scales.astype(np.float32)),
@@ -394,6 +404,8 @@ def random_params_int(cfg: ModelConfig, seed: int = 0,
     )
     sval = scale / qmax
 
+    pack = qtype == QuantType.INT4
+
     @jax.jit
     def gen_all(keys):
         res = {}
@@ -402,12 +414,19 @@ def random_params_int(cfg: ModelConfig, seed: int = 0,
                                       jnp.int32).astype(dt)
             if name == "embedding":
                 sshape = (*shape[:-1], shape[-1] // gs)
-                ga = -1
-            else:
-                sshape = (*shape[:-2], shape[-2] // gs, shape[-1])
-                ga = -2
+                res[name] = QArray(data, jnp.full(sshape, sval, jnp.float32),
+                                   qtype, gs, group_axis=-1)
+                continue
+            sshape = (*shape[:-2], shape[-2] // gs, shape[-1])
+            from fastllama_tpu.ops.pallas.qmm import pack_supported
+            packed = pack and pack_supported(shape[-2], shape[-1], gs)
+            if packed:
+                # pack on device: low nibble = even row, high = odd
+                lo = data[..., 0::2, :].astype(jnp.int32) & 0x0F
+                hi = (data[..., 1::2, :].astype(jnp.int32) & 0x0F) << 4
+                data = (lo | hi).astype(jnp.int8)
             res[name] = QArray(data, jnp.full(sshape, sval, jnp.float32),
-                               qtype, gs, group_axis=ga)
+                               qtype, gs, group_axis=-2, packed=packed)
         return res
 
     out.update(gen_all(keys))

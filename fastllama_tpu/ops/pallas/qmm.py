@@ -85,6 +85,36 @@ def _pick_tiles(T: int, O: int, I: int, gs: int, itemsize: int):
     return TT, _pick_to(O, min(to_cap, _MAX_TO)), I
 
 
+# dequantizing a packed tile materializes ~10 bytes/element of VMEM
+# intermediates per nibble plane (int32 + f32 + bf16); cap the plane so the
+# scoped-VMEM stack stays under the 16 MB core limit
+_PACKED_TILE_ELEMS = 512 * 1024
+
+
+def _pick_tiles_packed(T: int, O: int, Ih: int, gs: int):
+    """(TT, TO, TKp) for split-half packed INT4: TKp counts PACKED rows
+    (= logical rows per nibble plane) and must divide Ih = I/2."""
+    TT = min(_MAX_TT, T)
+    for tk in _TK_CANDIDATES:
+        if Ih % tk == 0 and tk % gs == 0 and (tk // gs) % 8 == 0:
+            to = _pick_to(O, _MAX_TO)
+            while to > 128 and tk * to > _PACKED_TILE_ELEMS:
+                to = _pick_to(O, to - 128)
+            if to and tk * to <= _PACKED_TILE_ELEMS:
+                return TT, to, tk
+    return TT, 0, 0
+
+
+def pack_supported(I: int, O: int, gs: int) -> bool:
+    """True if an (I, O) weight with group_size ``gs`` can be split-half
+    nibble-packed and still tile onto the fused kernel (used at load time to
+    decide whether to pack a given projection)."""
+    if I % 2 or (I // 2) % gs or O % 128:
+        return False
+    _, TO, TKp = _pick_tiles_packed(1, O, I // 2, gs)
+    return TO > 0 and TKp > 0
+
+
 def supported(x: jax.Array, w) -> bool:
     if not isinstance(w, QArray) or w.group_axis != -2:
         return False
@@ -95,6 +125,11 @@ def supported(x: jax.Array, w) -> bool:
     gs = w.group_size
     if I % gs != 0 or O % 128 != 0:
         return False
+    if getattr(w, "packed", False):
+        if w.data.shape[0] * 2 != I:
+            return False
+        TT, TO, TKp = _pick_tiles_packed(T, O, I // 2, gs)
+        return TO > 0 and TKp > 0 and T % TT == 0
     TT, TO, TK = _pick_tiles(T, O, I, gs, w.data.dtype.itemsize)
     return TO > 0 and T % TT == 0 and I % TK == 0
 
@@ -102,10 +137,43 @@ def supported(x: jax.Array, w) -> bool:
 def qmatmul_pallas(x: jax.Array, w: QArray, compute_dtype=jnp.bfloat16,
                    interpret: bool = False) -> jax.Array:
     """``x @ w`` with in-VMEM dequantization.  ``x``: (T, I) f32/bf16;
-    ``w``: QArray (I, O), scales (I/gs, O).  Returns (T, O) in x.dtype."""
+    ``w``: QArray (I, O) (split-half packed INT4: (I/2, O)), scales
+    (I/gs, O).  Returns (T, O) in x.dtype."""
     T, I = x.shape
-    O = w.data.shape[1]
+    O = w.data.shape[-1]
     gs = w.group_size
+    if getattr(w, "packed", False):
+        Ih = I // 2
+        TT, TO, TKp = _pick_tiles_packed(T, O, Ih, gs)
+        KHB = Ih // TKp
+        kernel = functools.partial(_qmm_kernel_p4, gs=gs)
+        out = pl.pallas_call(
+            kernel,
+            grid=(T // TT, O // TO, KHB),
+            in_specs=[
+                pl.BlockSpec((TT, TKp), lambda t, o, k: (t, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TT, TKp), lambda t, o, k: (t, k + KHB),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TKp, TO), lambda t, o, k: (k, o),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TKp // gs, TO), lambda t, o, k: (k, o),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TKp // gs, TO), lambda t, o, k: (k + KHB, o),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TT, TO), lambda t, o, k: (t, o),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((T, O), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * T * O * I,
+                bytes_accessed=O * I // 2 + O * I // gs * 4
+                + 2 * T * I * x.dtype.itemsize + T * O * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(x, x, w.data, w.scales, w.scales)
+        return out.astype(x.dtype)
+
     TT, TO, TK = _pick_tiles(T, O, I, gs, w.data.dtype.itemsize)
     wide = w.qtype == QuantType.INT16
 
@@ -132,6 +200,61 @@ def qmatmul_pallas(x: jax.Array, w: QArray, compute_dtype=jnp.bfloat16,
         interpret=interpret,
     )(x, w.data, w.scales)
     return out.astype(x.dtype)
+
+
+def _qmm_kernel_p4(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, *,
+                   gs: int):
+    """Split-half packed INT4: the packed tile's low nibbles are logical K
+    rows [k*TKp, (k+1)*TKp), the high nibbles the same range offset by I/2.
+    Two clean half-K MXU passes, no sublane shuffling; x and scales arrive
+    twice with offset index maps."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    p = w_ref[:].astype(jnp.int32)                # (TKp, TO)
+    acc = jnp.zeros_like(o_ref)
+    for shift, x_ref, s_ref in ((28, x_lo_ref, s_lo_ref),
+                                (24, x_hi_ref, s_hi_ref)):
+        w = (p << shift) >> 28                    # sign-extended nibbles
+        s = s_ref[:]                              # (TKp//gs, TO)
+        TKg, TO = s.shape
+        scale = jnp.broadcast_to(s[:, None, :],
+                                 (TKg, gs, TO)).reshape(TKg * gs, TO)
+        wf = (w.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        acc += jax.lax.dot_general(
+            x_ref[:].astype(jnp.bfloat16), wf,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o_ref[:] += acc
+
+
+def _qmm_kernel_p4_idx(l_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref,
+                       o_ref, *, gs: int):
+    """Layer-indexed split-half packed INT4 (leading singleton layer axis)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    p = w_ref[0].astype(jnp.int32)
+    acc = jnp.zeros_like(o_ref)
+    for shift, x_ref, s_ref in ((28, x_lo_ref, s_lo_ref),
+                                (24, x_hi_ref, s_hi_ref)):
+        w = (p << shift) >> 28
+        s = s_ref[0]
+        TKg, TO = s.shape
+        scale = jnp.broadcast_to(s[:, None, :],
+                                 (TKg, gs, TO)).reshape(TKg * gs, TO)
+        wf = (w.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        acc += jax.lax.dot_general(
+            x_ref[:].astype(jnp.bfloat16), wf,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o_ref[:] += acc
 
 
 def _qmm_kernel_idx(l_ref, x_ref, w_ref, s_ref, o_ref, *, gs: int, wide: bool):
@@ -170,7 +293,14 @@ def supported_indexed(x: jax.Array, w) -> bool:
     T, I = x.shape
     O = w.data.shape[2]
     gs = w.group_size
-    if I % gs != 0 or O % 128 != 0 or w.data.shape[1] != I:
+    if I % gs != 0 or O % 128 != 0:
+        return False
+    if getattr(w, "packed", False):
+        if w.data.shape[1] * 2 != I:
+            return False
+        TT, TO, TKp = _pick_tiles_packed(T, O, I // 2, gs)
+        return TO > 0 and TKp > 0 and T % TT == 0
+    if w.data.shape[1] != I:
         return False
     TT, TO, TK = _pick_tiles(T, O, I, gs, w.data.dtype.itemsize)
     return TO > 0 and T % TT == 0 and I % TK == 0
@@ -187,9 +317,48 @@ def qmatmul_pallas_indexed(x: jax.Array, w: QArray, layer,
     T, I = x.shape
     L, _, O = w.data.shape
     gs = w.group_size
+    l_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    if getattr(w, "packed", False):
+        Ih = I // 2
+        TT, TO, TKp = _pick_tiles_packed(T, O, Ih, gs)
+        KHB = Ih // TKp
+        kernel = functools.partial(_qmm_kernel_p4_idx, gs=gs)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(T // TT, O // TO, KHB),
+            in_specs=[
+                pl.BlockSpec((TT, TKp), lambda t, o, k, l: (t, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TT, TKp), lambda t, o, k, l: (t, k + KHB),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TKp, TO), lambda t, o, k, l: (l[0], k, o),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TKp // gs, TO),
+                             lambda t, o, k, l: (l[0], k, o),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TKp // gs, TO),
+                             lambda t, o, k, l: (l[0], k + KHB, o),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TT, TO), lambda t, o, k, l: (t, o),
+                                   memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((T, O), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * T * O * I,
+                bytes_accessed=O * I // 2 + O * I // gs * 4
+                + 2 * T * I * x.dtype.itemsize + T * O * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(l_arr, x, x, w.data, w.scales, w.scales)
+        return out.astype(x.dtype)
+
     TT, TO, TK = _pick_tiles(T, O, I, gs, w.data.dtype.itemsize)
     wide = w.qtype == QuantType.INT16
-    l_arr = jnp.asarray(layer, jnp.int32).reshape(1)
 
     kernel = functools.partial(_qmm_kernel_idx, gs=gs, wide=wide)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -48,6 +48,7 @@ def qmatmul_parity(x: jax.Array, w: QArray) -> jax.Array:
     activation per group, integer dot per group, fp32 accumulation of
     ``int_dot * ws * xs``.  ``x``: (B, I) fp32; ``w``: (I, O) QArray with
     group_axis=-2 (scales (G, O))."""
+    w = w.unpacked()
     gs = w.group_size
     I, O = w.data.shape
     G = I // gs

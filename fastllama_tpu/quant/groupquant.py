@@ -69,6 +69,12 @@ class QArray:
     qtype: QuantType = dataclasses.field(metadata=dict(static=True))
     group_size: int = dataclasses.field(metadata=dict(static=True))
     group_axis: int = dataclasses.field(default=-1, metadata=dict(static=True))
+    # INT4 nibble packing along axis -2 (the contraction axis of transposed
+    # weights): ``data`` is int8 of half height, byte row r = (even value in
+    # the low nibble, odd in the high) for logical rows 2r / 2r+1 — the
+    # reference's Bit4Pair (quant_operators.h:25-31) rotated onto the TPU
+    # layout.  Halves decode HBM traffic; kernels unpack in VMEM.
+    packed: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def shape(self):
@@ -85,7 +91,14 @@ class QArray:
         # Leading-axis indexing only (layer slicing); groups live on trailing
         # axes, which negative group_axis keeps addressing correctly.
         return QArray(self.data[idx], self.scales[idx], self.qtype,
-                      self.group_size, self.group_axis)
+                      self.group_size, self.group_axis, self.packed)
+
+    def unpacked(self) -> "QArray":
+        """Materialize int8 values from a nibble-packed INT4 QArray."""
+        if not self.packed:
+            return self
+        return QArray(unpack_int4_rows(self.data), self.scales, self.qtype,
+                      self.group_size, self.group_axis, packed=False)
 
 
 def _check(n: int, gs: int) -> None:
@@ -109,6 +122,7 @@ def quantize(x: jax.Array, qtype: QuantType, group_size: int = 64) -> QArray:
 
 def dequantize(q: QArray, dtype=jnp.float32) -> jax.Array:
     """Inverse of :func:`quantize` (quant_operators.cpp:50-66)."""
+    q = q.unpacked()
     gs = q.group_size
     shape = q.data.shape
     if q.group_axis == -1:
@@ -164,6 +178,43 @@ def pack_int4_np(q: np.ndarray) -> np.ndarray:
     lo = q[..., 0::2].astype(np.uint8) & 0x0F
     hi = (q[..., 1::2].astype(np.uint8) & 0x0F) << 4
     return (lo | hi).astype(np.uint8)
+
+
+def pack_int4_rows_np(q: np.ndarray) -> np.ndarray:
+    """Nibble-pack int8-held int4 values along axis -2 (the transposed
+    weight layout's contraction axis) in SPLIT-HALF order: byte row ``i``
+    holds logical row ``i`` in the low nibble and row ``i + I/2`` in the
+    high nibble — (…, I, O) int8 -> (…, I/2, O) int8.
+
+    Split-half (not adjacent-pair) order so unpacking never shuffles
+    sublanes: each nibble plane IS a contiguous K-range, and the fused
+    kernel consumes the two planes as two half-K matmul passes (an
+    adjacent-pair layout needs a stack+reshape interleave that Mosaic
+    lowers to a slow sublane shuffle — measured 4x slower end-to-end)."""
+    assert q.shape[-2] % 2 == 0
+    half = q.shape[-2] // 2
+    lo = q[..., :half, :].astype(np.uint8) & 0x0F
+    hi = (q[..., half:, :].astype(np.uint8) & 0x0F) << 4
+    return (lo | hi).astype(np.int8)
+
+
+def unpack_int4_rows_np(packed: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`pack_int4_rows_np`."""
+    u = packed.astype(np.uint8)
+    lo = (u & 0x0F).astype(np.int8)
+    hi = ((u >> 4) & 0x0F).astype(np.int8)
+    lo = np.where(lo >= 8, lo - 16, lo).astype(np.int8)
+    hi = np.where(hi >= 8, hi - 16, hi).astype(np.int8)
+    return np.concatenate([lo, hi], axis=-2)
+
+
+def unpack_int4_rows(packed: jax.Array) -> jax.Array:
+    """jnp inverse of :func:`pack_int4_rows_np`: two sign-extending int32
+    shifts and a half-concat (no interleave)."""
+    p = packed.astype(jnp.int32)
+    lo = ((p << 28) >> 28).astype(jnp.int8)
+    hi = ((p << 24) >> 28).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 def unpack_int4_np(packed: np.ndarray) -> np.ndarray:

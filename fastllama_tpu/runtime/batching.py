@@ -172,6 +172,8 @@ class BatchedEngine:
                 and cfg.quant_type != QuantType.NONE:
             qtype = cfg.quant_type
         params = m.build(qtype, device_put=device_put)
+        # build() may pad hidden_dim (INT4 packing alignment)
+        cfg = cfg.replace(hidden_dim=m.config.hidden_dim)
         return BatchedEngine(cfg, params, m.tokenizer, engine_config,
                              decode_chunk)
 

@@ -120,6 +120,8 @@ class Engine:
                 and cfg.quant_type != QuantType.NONE:
             qtype = cfg.quant_type  # pre-quantized file wins (transformer.cpp:36-38)
         params = m.build(qtype, device_put=device_put)
+        # build() may pad hidden_dim (INT4 packing alignment)
+        cfg = cfg.replace(hidden_dim=m.config.hidden_dim)
         return Engine(cfg, params, m.tokenizer, engine_config)
 
     # -- compiled steps ----------------------------------------------------

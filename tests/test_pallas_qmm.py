@@ -65,3 +65,47 @@ def test_qmm_in_forward_interpret():
     got, _ = forward(cfg, params, tokens, 0, KVCache.create(cfg), mm=mm)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_qmm_packed_int4_matches_unpacked():
+    """Split-half nibble-packed INT4 through the kernel must match the
+    unpacked int8-held path (plain and layer-indexed) to accumulation-order
+    tolerance (the packed kernel sums the two half-K passes separately)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from fastllama_tpu.config import QuantType
+    from fastllama_tpu.quant.groupquant import (QArray, pack_int4_rows_np,
+                                                quantize_np)
+    from fastllama_tpu.ops.pallas.qmm import (qmatmul_pallas,
+                                              qmatmul_pallas_indexed,
+                                              supported, supported_indexed)
+
+    rng = np.random.default_rng(0)
+    # I=1024 so the split halves (512 rows) satisfy the scale-block
+    # sublane constraint; smaller contractions legitimately stay unpacked
+    w = rng.standard_normal((1024, 256)).astype(np.float32)
+    d, s = quantize_np(w.T, QuantType.INT4, 64)
+    d, s = d.T.copy(), s.T.copy()
+    unp = QArray(jnp.asarray(d), jnp.asarray(s), QuantType.INT4, 64,
+                 group_axis=-2)
+    pk = QArray(jnp.asarray(pack_int4_rows_np(d)), jnp.asarray(s),
+                QuantType.INT4, 64, group_axis=-2, packed=True)
+    x = jnp.asarray(rng.standard_normal((8, 1024)).astype(np.float32))
+    assert supported(x, pk)
+    a = qmatmul_pallas(x, unp, interpret=True)
+    b = qmatmul_pallas(x, pk, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                               atol=2e-4)
+
+    dL = np.stack([d, -d])
+    sL = np.stack([s, s])
+    unpL = QArray(jnp.asarray(dL), jnp.asarray(sL), QuantType.INT4, 64,
+                  group_axis=-2)
+    pkL = QArray(jnp.asarray(pack_int4_rows_np(dL)), jnp.asarray(sL),
+                 QuantType.INT4, 64, group_axis=-2, packed=True)
+    assert supported_indexed(x, pkL)
+    for l in range(2):
+        a = qmatmul_pallas_indexed(x, unpL, l, interpret=True)
+        b = qmatmul_pallas_indexed(x, pkL, l, interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-4)

@@ -98,3 +98,30 @@ def test_zero_group_safe():
     q, s = quantize_np(x, QuantType.INT8, 64)
     assert np.all(q == 0) and np.all(s == 0)
     np.testing.assert_array_equal(dequantize_np(q, s, 64), x)
+
+
+def test_int4_row_packing_roundtrip():
+    """Nibble packing along the contraction axis (QArray.packed) — exact
+    roundtrip in numpy and jnp, and dequantize() equivalence."""
+    import jax.numpy as jnp
+    import numpy as np
+    from fastllama_tpu.config import QuantType
+    from fastllama_tpu.quant.groupquant import (QArray, dequantize,
+                                                pack_int4_rows_np,
+                                                unpack_int4_rows,
+                                                unpack_int4_rows_np)
+
+    rng = np.random.default_rng(0)
+    q = rng.integers(-8, 8, size=(3, 64, 48)).astype(np.int8)
+    p = pack_int4_rows_np(q)
+    assert p.shape == (3, 32, 48) and p.dtype == np.int8
+    np.testing.assert_array_equal(unpack_int4_rows_np(p), q)
+    np.testing.assert_array_equal(np.asarray(unpack_int4_rows(jnp.asarray(p))), q)
+
+    s = rng.standard_normal((3, 1, 48)).astype(np.float32)
+    a = QArray(jnp.asarray(q), jnp.asarray(s), QuantType.INT4, 64,
+               group_axis=-2)
+    b = QArray(jnp.asarray(p), jnp.asarray(s), QuantType.INT4, 64,
+               group_axis=-2, packed=True)
+    np.testing.assert_array_equal(np.asarray(dequantize(a)),
+                                  np.asarray(dequantize(b)))

@@ -126,7 +126,15 @@ def main():
           f"on {jax.devices()[0]}", file=sys.stderr)
 
     prompt = list(range(1, prompt_len + 1))
-    tps, prefill_tps = bench_single(cfg, params, n_tokens, chunk, prompt)
+    profile_dir = os.environ.get("BENCH_PROFILE", "")
+    if profile_dir:
+        from fastllama_tpu.utils.profiling import trace
+        with trace(profile_dir):
+            tps, prefill_tps = bench_single(cfg, params, n_tokens, chunk,
+                                            prompt)
+        print(f"# trace written to {profile_dir}", file=sys.stderr)
+    else:
+        tps, prefill_tps = bench_single(cfg, params, n_tokens, chunk, prompt)
 
     baseline = BASELINE_TPS[name]
     qname = cfg.quant_type.name.lower()

@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-e", "--encode", default="", help="encode text to tokens")
     p.add_argument("-d", "--decode", default="", help="decode ids (comma-sep)")
     p.add_argument("--detail", action="store_true")
+    p.add_argument("--profile-dir", default="",
+                   help="write a jax.profiler trace of the run to this dir "
+                        "(view with XProf / TensorBoard profile plugin)")
     p.add_argument("--debug", action="store_true")
     return p
 
@@ -118,7 +121,8 @@ def main(argv=None) -> int:
     qtype = QuantType.parse(args.quant)
 
     ec = EngineConfig(max_seq_len=args.max_seq_len, kv_dtype=args.kv_dtype,
-                      use_pallas=not args.no_pallas, parity_mode=args.parity)
+                      use_pallas=not args.no_pallas, parity_mode=args.parity,
+                      mesh=args.mesh)
     if args.detail or args.debug:
         print(f"checkpoint: {args.checkpoint}\nquant: {qtype.name}\n"
               f"temperature: {args.temperature}  top_p: {args.topp}",
@@ -135,6 +139,12 @@ def main(argv=None) -> int:
 
     if args.mode == "chat":
         return chat_loop(eng, args)
+
+    profiler = None
+    if args.profile_dir:
+        from fastllama_tpu.utils.profiling import trace
+        profiler = trace(args.profile_dir)
+        profiler.__enter__()
 
     agg = dict(ptok=0.0, otok=0.0, ps=0.0, ds=0.0)
     for r in range(rounds):
@@ -156,6 +166,10 @@ def main(argv=None) -> int:
         agg["otok"] += st.output_tokens
         agg["ps"] += st.prefill_s
         agg["ds"] += st.decode_s
+
+    if profiler is not None:
+        profiler.__exit__(None, None, None)
+        print(f"# trace written to {args.profile_dir}", file=sys.stderr)
 
     n = rounds
     ptok, otok = agg["ptok"] / n, agg["otok"] / n

@@ -120,3 +120,8 @@ class EngineConfig:
     fuse_weights: bool = False
     parity_mode: bool = False           # bit-faithful reference math (act-quant int dot)
     donate_cache: bool = True
+    # GSPMD mesh spec, e.g. "model=8" or "data=2,model=4" (empty = single
+    # device).  With a mesh, params/KV get TP shardings (parallel/sharding.py)
+    # and the jnp compute path runs partitioned by XLA; the Pallas fast path
+    # is single-device and is disabled under a multi-device mesh.
+    mesh: str = ""

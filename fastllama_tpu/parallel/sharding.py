@@ -45,9 +45,10 @@ def make_mesh(spec: str = "", devices=None) -> Mesh:
             k, v = part.split("=")
             shape[k.strip()] = int(v)
     total = shape[DATA_AXIS] * shape[MODEL_AXIS]
-    if total != n:
+    if total > n:
         raise ValueError(f"mesh {shape} needs {total} devices, have {n}")
-    arr = np.asarray(devices).reshape(shape[DATA_AXIS], shape[MODEL_AXIS])
+    arr = np.asarray(devices[:total]).reshape(shape[DATA_AXIS],
+                                              shape[MODEL_AXIS])
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
@@ -131,6 +132,16 @@ def cache_sharding(cfg: ModelConfig, mesh: Mesh, batched: bool = False) -> KVCac
         spec = P(None, head_ax, None, None)
     s = NamedSharding(mesh, spec)
     return KVCache(s, s)
+
+
+def slot_cache_sharding(cfg: ModelConfig, mesh: Mesh, batch_size: int):
+    """Sharding for the continuous-batching cache (L, B, n_kv, S, hs):
+    slots over 'data' when they divide, kv-heads over 'model'."""
+    mp = mesh.shape[MODEL_AXIS]
+    dp = mesh.shape[DATA_AXIS]
+    head_ax = MODEL_AXIS if cfg.n_kv_heads % mp == 0 else None
+    slot_ax = DATA_AXIS if dp > 1 and batch_size % dp == 0 else None
+    return NamedSharding(mesh, P(None, slot_ax, head_ax, None, None))
 
 
 def pad_hidden_for_sharding(cfg: ModelConfig, weights: dict, model_parallel: int

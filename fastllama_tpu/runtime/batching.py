@@ -105,6 +105,15 @@ class BatchedEngine:
         config.validate()
         self.config = config
         self.B = max(1, ec.max_batch_size)
+        self.mesh = None
+        if ec.mesh:
+            from fastllama_tpu.parallel.sharding import (make_mesh,
+                                                         shard_params)
+            self.mesh = make_mesh(ec.mesh)
+            params = shard_params(config, self.mesh, params)
+            if len(self.mesh.devices.flat) > 1:
+                ec = dataclasses.replace(ec, use_pallas=False,
+                                         fuse_weights=False)
         if ec.fuse_weights and not ec.parity_mode:
             from fastllama_tpu.models.llama import fuse_params
             params = fuse_params(config, params)
@@ -138,6 +147,11 @@ class BatchedEngine:
 
         # device state
         self.cache = BatchedKVCache.create(config, self.B, dtype=self.kv_dtype)
+        if self.mesh is not None:
+            from fastllama_tpu.parallel.sharding import slot_cache_sharding
+            sh = slot_cache_sharding(config, self.mesh, self.B)
+            self.cache = BatchedKVCache(jax.device_put(self.cache.k, sh),
+                                        jax.device_put(self.cache.v, sh))
         self._keys = jax.random.split(jax.random.PRNGKey(0), self.B)
 
         # host slot state
@@ -171,6 +185,17 @@ class BatchedEngine:
         elif m.file_type in (FileType.FLM, FileType.GGUF) \
                 and cfg.quant_type != QuantType.NONE:
             qtype = cfg.quant_type
+        if engine_config is not None and engine_config.mesh \
+                and device_put is None:
+            from fastllama_tpu.parallel.sharding import pad_hidden_for_sharding
+            mp = 1
+            for part in engine_config.mesh.split(","):
+                k, v = part.split("=")
+                if k.strip() == "model":
+                    mp = int(v)
+            cfg = pad_hidden_for_sharding(cfg, m.weights, mp)
+            m.config = cfg
+            device_put = np.asarray
         params = m.build(qtype, device_put=device_put)
         # build() may pad hidden_dim (INT4 packing alignment)
         cfg = cfg.replace(hidden_dim=m.config.hidden_dim)

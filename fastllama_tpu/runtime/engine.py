@@ -65,6 +65,15 @@ class Engine:
                                                     ec.max_seq_len))
         config.validate()
         self.config = config
+        self.mesh = None
+        if ec.mesh:
+            from fastllama_tpu.parallel.sharding import (make_mesh,
+                                                         shard_params)
+            self.mesh = make_mesh(ec.mesh)
+            params = shard_params(config, self.mesh, params)
+            if len(self.mesh.devices.flat) > 1:
+                ec = dataclasses.replace(ec, use_pallas=False,
+                                         fuse_weights=False)
         if ec.fuse_weights and not ec.parity_mode:
             from fastllama_tpu.models.llama import fuse_params
             params = fuse_params(config, params)
@@ -119,6 +128,19 @@ class Engine:
         elif m.file_type in (FileType.FLM, FileType.GGUF) \
                 and cfg.quant_type != QuantType.NONE:
             qtype = cfg.quant_type  # pre-quantized file wins (transformer.cpp:36-38)
+        if engine_config is not None and engine_config.mesh \
+                and device_put is None:
+            # keep weights host-side; Engine.__init__ device_puts each leaf
+            # once with its TP sharding (each device receives its shard only)
+            from fastllama_tpu.parallel.sharding import pad_hidden_for_sharding
+            mp = 1
+            for part in engine_config.mesh.split(","):
+                k, v = part.split("=")
+                if k.strip() == "model":
+                    mp = int(v)
+            cfg = pad_hidden_for_sharding(cfg, m.weights, mp)
+            m.config = cfg
+            device_put = np.asarray
         params = m.build(qtype, device_put=device_put)
         # build() may pad hidden_dim (INT4 packing alignment)
         cfg = cfg.replace(hidden_dim=m.config.hidden_dim)
@@ -193,7 +215,11 @@ class Engine:
         return self._step_fn
 
     def new_cache(self) -> KVCache:
-        return KVCache.create(self.config, dtype=self.kv_dtype)
+        cache = KVCache.create(self.config, dtype=self.kv_dtype)
+        if self.mesh is not None:
+            from fastllama_tpu.parallel.sharding import shard_cache
+            cache = shard_cache(self.config, self.mesh, cache)
+        return cache
 
     # -- generation --------------------------------------------------------
 

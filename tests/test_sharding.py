@@ -111,3 +111,56 @@ def test_pad_hidden_for_sharding():
 def test_dryrun_entry():
     import __graft_entry__ as g
     g.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_batched_engine_on_mesh_matches_single(tmp_path):
+    """Continuous batching with a GSPMD mesh (EngineConfig.mesh) must give
+    the same greedy outputs as the single-device batched engine."""
+    from fastllama_tpu.config import EngineConfig
+    from fastllama_tpu.loaders.registry import FileType
+    from fastllama_tpu.runtime.batching import BatchedEngine
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path))
+    prompts = ["the cat sat", "a big dog"]
+
+    ref_eng = BatchedEngine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=2,
+                     compute_dtype="float32"), decode_chunk=4)
+    want = [r.output_tokens for r in ref_eng.generate_all(
+        prompts, max_new_tokens=8, temperature=0.0, stop_tokens=())]
+
+    mesh_eng = BatchedEngine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=2,
+                     compute_dtype="float32", mesh="data=1,model=2"),
+        decode_chunk=4)
+    assert mesh_eng.mesh is not None
+    got = [r.output_tokens for r in mesh_eng.generate_all(
+        prompts, max_new_tokens=8, temperature=0.0, stop_tokens=())]
+    assert got == want
+
+
+def test_engine_on_mesh_matches_single(tmp_path):
+    from fastllama_tpu.config import EngineConfig
+    from fastllama_tpu.loaders.registry import FileType
+    from fastllama_tpu.runtime.engine import Engine
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path))
+    ref = Engine.load(ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+                      EngineConfig(max_seq_len=64, compute_dtype="float32"))
+    want, _ = ref.generate("the cat", max_new_tokens=8, temperature=0.0,
+                           stop_tokens=())
+    mesh_eng = Engine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, compute_dtype="float32",
+                     mesh="data=1,model=2"))
+    got, _ = mesh_eng.generate("the cat", max_new_tokens=8, temperature=0.0,
+                               stop_tokens=())
+    assert got == want

@@ -117,8 +117,12 @@ def prefill_into_slot(cfg: ModelConfig, params: LlamaParams,
     cos, sin = rope_cos_sin(jnp.arange(T, dtype=jnp.int32), hs,
                             cfg.rope_theta, compute_dtype)
 
-    def scan_fn(carry, layer):
-        x, ck, cv = carry
+    # K/V leave the scan as OUTPUTS (tiny (L, n_kv, T, hs) stacks) and hit
+    # the big cache in ONE slice-update afterwards.  Carrying the cache
+    # through the scan with per-layer updates defeats XLA's in-place
+    # analysis — it copied the full cache every layer (measured 165 ms for
+    # a 64-token 7B prefill vs ~4 ms this way).
+    def scan_fn(x, layer):
         l, attn_norm_l, ffn_norm_l = layer
 
         h = rmsnorm(x, attn_norm_l, cfg.norm_eps)
@@ -129,25 +133,22 @@ def prefill_into_slot(cfg: ModelConfig, params: LlamaParams,
         q = apply_rope_half(q, cos[None], sin[None])
         k = apply_rope_half(k, cos[None], sin[None])
 
-        # write the fresh rows into (l, slot, :, 0:T, :)
-        ck = jax.lax.dynamic_update_slice(
-            ck, k[None, None].astype(ck.dtype), (l, slot, 0, 0, 0))
-        cv = jax.lax.dynamic_update_slice(
-            cv, v[None, None].astype(cv.dtype), (l, slot, 0, 0, 0))
-
         # a fresh slot is empty: attend over the prompt's own K/V only
-        o = gqa_attention(q, k.astype(compute_dtype), v.astype(compute_dtype),
-                          0)
+        o = gqa_attention(q, k, v, 0)
         o = o.transpose(1, 0, 2).reshape(T, n_heads * hs)
         x = x + proj(o, params.wo, l)
 
         h = rmsnorm(x, ffn_norm_l, cfg.norm_eps)
         x = x + _ffn(cfg, params, proj, h, l)
-        return (x, ck, cv), None
+        return x, (k.astype(cache.k.dtype), v.astype(cache.v.dtype))
 
     xs = (jnp.arange(cfg.n_layers, dtype=jnp.int32),
           params.attn_norm, params.ffn_norm)
-    (x, new_k, new_v), _ = jax.lax.scan(scan_fn, (x, cache.k, cache.v), xs)
+    x, (ks, vs) = jax.lax.scan(scan_fn, x, xs)      # (L, n_kv, T, hs)
+    new_k = jax.lax.dynamic_update_slice(cache.k, ks[:, None],
+                                         (0, slot, 0, 0, 0))
+    new_v = jax.lax.dynamic_update_slice(cache.v, vs[:, None],
+                                         (0, slot, 0, 0, 0))
 
     # classifier only on the last valid row (transformer.cpp:140-142)
     x = rmsnorm(x, params.out_norm, cfg.norm_eps)

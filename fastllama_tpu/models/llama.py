@@ -113,7 +113,7 @@ def forward(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array, pos,
             attn: Callable = gqa_attention, unroll: bool = False,
             mm_idx: Optional[Callable] = None,
             attn_idx: Optional[Callable] = None,
-            attend_fresh: bool = False, last_index=None,
+            last_index=None,
             compute_dtype=jnp.float32) -> Tuple[jax.Array, KVCache]:
     """One transformer step over T tokens at absolute positions
     [pos, pos+T).  Returns per-token logits (T, vocab) and the updated cache.
@@ -134,10 +134,9 @@ def forward(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array, pos,
       measured slower than scan on v5e — XLA copies slices feeding custom
       calls).
 
-    ``attend_fresh=True`` is the pos==0 prefill fast path: attention runs
-    over the T freshly computed K/V rows only, never reading the (empty)
-    cache — for 7B at S=1024 that skips 8.6 GB of masked-out HBM reads per
-    prefill.  Only valid when the caller guarantees pos == 0.
+    The pos==0 fresh-prefill fast path lives in models/batched.py
+    (``prefill_into_slot``): attention over the prompt's own K/V only and
+    one post-scan cache write (Engine._get_prefill routes there).
     """
     T = tokens.shape[0]
     hs, n_heads, n_kv = cfg.head_size, cfg.n_heads, cfg.n_kv_heads
@@ -174,12 +173,8 @@ def forward(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array, pos,
         q = apply_rope_half(q, cos[None], sin[None])
         k = apply_rope_half(k, cos[None], sin[None])
 
-        if attend_fresh:
-            write_kv(k, v)
-            o = attn(q, k.astype(compute_dtype), v.astype(compute_dtype), 0)
-        else:
-            kc_l, vc_l = write_kv(k, v)
-            o = (attn_fn or attn)(q, kc_l, vc_l, pos)           # (H, T, hs)
+        kc_l, vc_l = write_kv(k, v)
+        o = (attn_fn or attn)(q, kc_l, vc_l, pos)               # (H, T, hs)
         o = o.transpose(1, 0, 2).reshape(T, n_heads * hs)
         x = x + proj(o, wo_l)
 

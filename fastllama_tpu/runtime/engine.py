@@ -156,20 +156,36 @@ class Engine:
 
     def _get_prefill(self, bucket: int, fresh: bool = True):
         """``fresh=True`` = prompt starts at pos 0 in an empty cache:
-        attention sees only the prompt's own K/V (no cache reads) and the
-        classifier runs on the last valid row only.  ``fresh=False`` is the
-        mid-sequence variant (ChatSession.feed at pos > 0)."""
+        attention sees only the prompt's own K/V (no cache reads, K/V land
+        in the cache as one post-scan slice update) and the classifier runs
+        on the last valid row only.  ``fresh=False`` is the mid-sequence
+        variant (ChatSession.feed at pos > 0), which attends over the
+        existing cache."""
         key_ = (bucket, fresh)
         if key_ not in self._prefill_fns:
             cfg, mm, at = self.config, self._mm, self._attn
             mi, ai, cdt = self._mm_idx, self._attn_idx, self._cdt
 
-            def f(params, tokens, cache, length, pos):
-                lg, cache = forward(cfg, params, tokens, pos, cache, mm=mm,
-                                    attn=at, mm_idx=mi, attn_idx=ai,
-                                    attend_fresh=fresh, last_index=length - 1,
-                                    compute_dtype=cdt)
-                return lg[0], cache
+            if fresh:
+                from fastllama_tpu.models.batched import (BatchedKVCache,
+                                                          prefill_into_slot)
+
+                def f(params, tokens, cache, length, pos):
+                    L, H, S, hs = cache.k.shape
+                    bc = BatchedKVCache(cache.k.reshape(L, 1, H, S, hs),
+                                        cache.v.reshape(L, 1, H, S, hs))
+                    logits, bc = prefill_into_slot(
+                        cfg, params, tokens, length, 0, bc,
+                        mm=mm, mm_idx=mi, compute_dtype=cdt)
+                    return logits, KVCache(bc.k.reshape(L, H, S, hs),
+                                           bc.v.reshape(L, H, S, hs))
+            else:
+                def f(params, tokens, cache, length, pos):
+                    lg, cache = forward(cfg, params, tokens, pos, cache,
+                                        mm=mm, attn=at, mm_idx=mi,
+                                        attn_idx=ai, last_index=length - 1,
+                                        compute_dtype=cdt)
+                    return lg[0], cache
 
             self._prefill_fns[key_] = jax.jit(f, donate_argnums=(2,))
         return self._prefill_fns[key_]

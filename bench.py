@@ -70,14 +70,14 @@ def bench_single(cfg, params, n_tokens, chunk, prompt):
     return st.decode_tps, st.prefill_tps
 
 
-def bench_batched(cfg, params, n_tokens, chunk, prompt, batch):
+def bench_batched(cfg, params, n_tokens, chunk, prompt, batch, kv_dtype):
     """Aggregate decode tok/s serving ``batch`` concurrent streams through
     the continuous-batching engine (a capability the reference lacks —
     it serves exactly one stream, transformer.cpp:76-103)."""
     from fastllama_tpu.runtime.batching import BatchedEngine
 
     eng = BatchedEngine(cfg, params, Tokenizer().finalize(),
-                        EngineConfig(max_seq_len=1024, kv_dtype="bfloat16",
+                        EngineConfig(max_seq_len=1024, kv_dtype=kv_dtype,
                                      max_batch_size=batch),
                         decode_chunk=chunk)
     # warmup: compile prefill + one full-size chunk
@@ -109,7 +109,10 @@ def main():
     n_tokens = int(os.environ.get("BENCH_TOKENS", "128"))
     chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     prompt_len = int(os.environ.get("BENCH_PROMPT", "43"))
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "24"))
+    # int8 per-row-quantized KV cache: fits 3x the slots of bf16 (the
+    # single-stream run keeps bf16 KV)
+    kv_dtype = os.environ.get("BENCH_KV", "int8")
     quant = os.environ.get("BENCH_QUANT", "int8")
     cfg = CONFIGS[name]
     if quant != "int8":
@@ -140,9 +143,12 @@ def main():
     qname = cfg.quant_type.name.lower()
     if batch > 1:
         agg = bench_batched(cfg, params, n_tokens - n_tokens % chunk or chunk,
-                            chunk, prompt, batch)
+                            chunk, prompt, batch, kv_dtype)
+        kvtag = {"int8": "_kv8", "bfloat16": "", "float32": "_kvf32"}.get(
+            kv_dtype, f"_{kv_dtype}")
         print(json.dumps({
-            "metric": f"aggregate_decode_tok_s_{name}_{qname}_1chip_b{batch}",
+            "metric": f"aggregate_decode_tok_s_{name}_{qname}{kvtag}"
+                      f"_1chip_b{batch}",
             "value": round(agg, 2),
             "unit": "tok/s",
             "vs_baseline": round(agg / baseline, 3),

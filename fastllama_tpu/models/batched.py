@@ -42,10 +42,23 @@ from fastllama_tpu.quant.groupquant import QArray
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BatchedKVCache:
-    """(L, B, n_kv, max_seq, head_size) per array; slot = independent stream."""
+    """(L, B, n_kv, max_seq, head_size) per array; slot = independent stream.
+
+    ``dtype='int8'``: rows stored int8 with per-row fp32 scales
+    (``k_scale``/``v_scale``, shape (L, B, n_kv, max_seq) — NO trailing
+    singleton: a (..., S, 1) layout would lane-pad 128x on TPU, turning
+    33 MB of scales into 4.2 GB) — half the footprint and HBM traffic of
+    bf16, so twice the slots fit (quantize_rows at write, dequant inside
+    the attention kernels, applied lane-wise to scores)."""
 
     k: jax.Array
     v: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @staticmethod
     def create(cfg: ModelConfig, batch_size: int,
@@ -53,6 +66,12 @@ class BatchedKVCache:
                dtype=jnp.float32) -> "BatchedKVCache":
         S = max_seq_len or cfg.max_seq_len
         shape = (cfg.n_layers, batch_size, cfg.n_kv_heads, S, cfg.head_size)
+        if jnp.dtype(dtype) == jnp.int8:
+            sshape = shape[:-1]
+            return BatchedKVCache(jnp.zeros(shape, jnp.int8),
+                                  jnp.zeros(shape, jnp.int8),
+                                  jnp.ones(sshape, jnp.float32),
+                                  jnp.ones(sshape, jnp.float32))
         return BatchedKVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
     @property
@@ -95,6 +114,44 @@ def _make_proj(mm: Callable, mm_idx: Optional[Callable], compute_dtype):
     return lambda h, w, l: mm(h, _take_layer(w, l))
 
 
+def _write_slot(cache: "BatchedKVCache", ks: jax.Array, vs: jax.Array,
+                slot) -> "BatchedKVCache":
+    """Write (L, n_kv, T, hs) fresh K/V rows into slot ``slot`` at positions
+    [0, T), quantizing rows when the cache is int8."""
+    from fastllama_tpu.quant.groupquant import quantize_rows
+    if cache.quantized:
+        kq, ksc = quantize_rows(ks)                  # scales (L, n_kv, T, 1)
+        vq, vsc = quantize_rows(vs)
+        return BatchedKVCache(
+            jax.lax.dynamic_update_slice(cache.k, kq[:, None],
+                                         (0, slot, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(cache.v, vq[:, None],
+                                         (0, slot, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(cache.k_scale, ksc[..., 0][:, None],
+                                         (0, slot, 0, 0)),
+            jax.lax.dynamic_update_slice(cache.v_scale, vsc[..., 0][:, None],
+                                         (0, slot, 0, 0)))
+    return BatchedKVCache(
+        jax.lax.dynamic_update_slice(cache.k, ks[:, None].astype(cache.k.dtype),
+                                     (0, slot, 0, 0, 0)),
+        jax.lax.dynamic_update_slice(cache.v, vs[:, None].astype(cache.v.dtype),
+                                     (0, slot, 0, 0, 0)))
+
+
+def _layer_slices(cache: "BatchedKVCache", l, compute_dtype):
+    """Dequantized (B, n_kv, S, hs) K/V slices of layer ``l`` — the jnp
+    fallback read path (a copy; the Pallas kernels read in place)."""
+    from fastllama_tpu.quant.groupquant import dequantize_rows
+    ck = jax.lax.dynamic_index_in_dim(cache.k, l, 0, keepdims=False)
+    cv = jax.lax.dynamic_index_in_dim(cache.v, l, 0, keepdims=False)
+    if cache.quantized:
+        ks = jax.lax.dynamic_index_in_dim(cache.k_scale, l, 0, keepdims=False)
+        vs = jax.lax.dynamic_index_in_dim(cache.v_scale, l, 0, keepdims=False)
+        return (dequantize_rows(ck, ks[..., None], compute_dtype),
+                dequantize_rows(cv, vs[..., None], compute_dtype))
+    return ck, cv
+
+
 def prefill_into_slot(cfg: ModelConfig, params: LlamaParams,
                       tokens: jax.Array, length, slot,
                       cache: BatchedKVCache, *,
@@ -122,6 +179,8 @@ def prefill_into_slot(cfg: ModelConfig, params: LlamaParams,
     # through the scan with per-layer updates defeats XLA's in-place
     # analysis — it copied the full cache every layer (measured 165 ms for
     # a 64-token 7B prefill vs ~4 ms this way).
+    kv_dtype = cache.k.dtype if not cache.quantized else compute_dtype
+
     def scan_fn(x, layer):
         l, attn_norm_l, ffn_norm_l = layer
 
@@ -140,21 +199,18 @@ def prefill_into_slot(cfg: ModelConfig, params: LlamaParams,
 
         h = rmsnorm(x, ffn_norm_l, cfg.norm_eps)
         x = x + _ffn(cfg, params, proj, h, l)
-        return x, (k.astype(cache.k.dtype), v.astype(cache.v.dtype))
+        return x, (k.astype(kv_dtype), v.astype(kv_dtype))
 
     xs = (jnp.arange(cfg.n_layers, dtype=jnp.int32),
           params.attn_norm, params.ffn_norm)
     x, (ks, vs) = jax.lax.scan(scan_fn, x, xs)      # (L, n_kv, T, hs)
-    new_k = jax.lax.dynamic_update_slice(cache.k, ks[:, None],
-                                         (0, slot, 0, 0, 0))
-    new_v = jax.lax.dynamic_update_slice(cache.v, vs[:, None],
-                                         (0, slot, 0, 0, 0))
+    new_cache = _write_slot(cache, ks, vs, slot)
 
     # classifier only on the last valid row (transformer.cpp:140-142)
     x = rmsnorm(x, params.out_norm, cfg.norm_eps)
     xl = jax.lax.dynamic_slice_in_dim(x, length - 1, 1, axis=0)     # (1, dim)
     logits = mm(xl, params.classifier)                              # (1, V)
-    return logits[0].astype(jnp.float32), BatchedKVCache(new_k, new_v)
+    return logits[0].astype(jnp.float32), new_cache
 
 
 def decode_step(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array,
@@ -167,20 +223,21 @@ def decode_step(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array,
     """One decode token for every slot: tokens (B,) at per-slot positions
     pos (B,).  Returns (logits (B, vocab), cache).
 
-    ``attn_bidx(q, ck, cv, pos, l)`` is the batched layer-indexed decode
-    attention (Pallas over the full stacked cache); the jnp fallback slices
-    layer ``l`` out of the cache (a copy — test path only).
+    ``attn_bidx(q, cache, pos, l)`` is the batched layer-indexed decode
+    attention (Pallas over the full stacked cache, int8-dequant in VMEM when
+    quantized); the jnp fallback slices + dequantizes layer ``l`` (a copy —
+    test path only).
     """
+    from fastllama_tpu.quant.groupquant import quantize_rows
     B = tokens.shape[0]
     hs, n_heads, n_kv = cfg.head_size, cfg.n_heads, cfg.n_kv_heads
-    S = cache.k.shape[3]
     proj = _make_proj(mm, mm_idx, compute_dtype)
 
     x = embed_tokens(params.embedding, tokens, compute_dtype)       # (B, dim)
     cos, sin = rope_cos_sin(pos, hs, cfg.rope_theta, compute_dtype)  # (B, hs/2)
 
     def scan_fn(carry, layer):
-        x, ck, cv = carry
+        x, cache = carry
         l, attn_norm_l, ffn_norm_l = layer
 
         h = rmsnorm(x, attn_norm_l, cfg.norm_eps)
@@ -193,31 +250,45 @@ def decode_step(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array,
 
         # write each slot's new row at (l, b, :, pos[b], :); B is static and
         # small, so B tiny dynamic_update_slices stay in place under donation
+        ck, cv = cache.k, cache.v
+        ksc, vsc = cache.k_scale, cache.v_scale
+        if cache.quantized:
+            kq, ks_ = quantize_rows(k)               # (B, n_kv, hs), (B, n_kv, 1)
+            vq, vs_ = quantize_rows(v)
+            kwv, vwv = kq, vq
+        else:
+            kwv, vwv = k, v
         for b in range(B):
             ck = jax.lax.dynamic_update_slice(
-                ck, k[b][None, None, :, None].astype(ck.dtype),
+                ck, kwv[b][None, None, :, None].astype(ck.dtype),
                 (l, b, 0, pos[b], 0))
             cv = jax.lax.dynamic_update_slice(
-                cv, v[b][None, None, :, None].astype(cv.dtype),
+                cv, vwv[b][None, None, :, None].astype(cv.dtype),
                 (l, b, 0, pos[b], 0))
+            if cache.quantized:
+                # ks_[b]: (n_kv, 1) -> (1, 1, n_kv, 1) row in (L, B, n_kv, S)
+                ksc = jax.lax.dynamic_update_slice(
+                    ksc, ks_[b][None, None], (l, b, 0, pos[b]))
+                vsc = jax.lax.dynamic_update_slice(
+                    vsc, vs_[b][None, None], (l, b, 0, pos[b]))
+        cache = BatchedKVCache(ck, cv, ksc, vsc)
 
         if attn_bidx is not None:
-            o = attn_bidx(q[:, :, None], ck, cv, pos, l)     # (B, H, 1, hs)
+            o = attn_bidx(q[:, :, None], cache, pos, l)      # (B, H, 1, hs)
         else:
-            ck_l = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
-            cv_l = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
+            ck_l, cv_l = _layer_slices(cache, l, compute_dtype)
             o = gqa_attention_batched(q[:, :, None], ck_l, cv_l, pos)
         o = o.reshape(B, n_heads * hs)
         x = x + proj(o, params.wo, l)
 
         h = rmsnorm(x, ffn_norm_l, cfg.norm_eps)
         x = x + _ffn(cfg, params, proj, h, l)
-        return (x, ck, cv), None
+        return (x, cache), None
 
     xs = (jnp.arange(cfg.n_layers, dtype=jnp.int32),
           params.attn_norm, params.ffn_norm)
-    (x, new_k, new_v), _ = jax.lax.scan(scan_fn, (x, cache.k, cache.v), xs)
+    (x, new_cache), _ = jax.lax.scan(scan_fn, (x, cache), xs)
 
     x = rmsnorm(x, params.out_norm, cfg.norm_eps)
     logits = mm(x, params.classifier)                               # (B, V)
-    return logits.astype(jnp.float32), BatchedKVCache(new_k, new_v)
+    return logits.astype(jnp.float32), new_cache

@@ -62,16 +62,34 @@ class LlamaParams:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    """Preallocated cache, (L, n_kv_heads, max_seq, head_size)."""
+    """Preallocated cache, (L, n_kv_heads, max_seq, head_size).
+
+    ``dtype='int8'`` stores rows int8-quantized with per-row fp32 scales
+    (``k_scale``/``v_scale``, shape (..., max_seq, 1)) — half the HBM
+    traffic and footprint of bf16; rows are quantized at write
+    (quant/groupquant.quantize_rows) and dequantized inside the attention
+    kernels.  The reference keeps fp32 KV (transformer.cpp:368)."""
 
     k: jax.Array
     v: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @staticmethod
     def create(cfg: ModelConfig, max_seq_len: Optional[int] = None,
                dtype=jnp.float32) -> "KVCache":
         S = max_seq_len or cfg.max_seq_len
         shape = (cfg.n_layers, cfg.n_kv_heads, S, cfg.head_size)
+        if jnp.dtype(dtype) == jnp.int8:
+            sshape = shape[:-1] + (1,)
+            return KVCache(jnp.zeros(shape, jnp.int8),
+                           jnp.zeros(shape, jnp.int8),
+                           jnp.ones(sshape, jnp.float32),
+                           jnp.ones(sshape, jnp.float32))
         return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 

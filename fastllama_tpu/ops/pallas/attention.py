@@ -220,16 +220,18 @@ def decode_attention_pallas_batched(q: jax.Array, ck: jax.Array,
 
 
 def make_attn_batched(interpret: bool = False):
-    """attn_bidx(q, ck, cv, pos, layer) drop-in for models.batched.decode_step:
-    the fused batched kernel where shapes allow, jnp fallback otherwise."""
+    """attn_bidx(q, cache, pos, layer) drop-in for models.batched.decode_step:
+    the fused batched kernel where shapes allow, jnp fallback otherwise
+    (always the fallback for int8 caches — the bounded flash kernel is the
+    quantized fast path, ops/pallas/flash_decode.py)."""
     from fastllama_tpu.ops.attention import gqa_attention_batched
 
-    def attn_bidx(q, ck, cv, pos, layer):
-        if q.shape[2] == 1 and q.shape[3] % 8 == 0:
-            return decode_attention_pallas_batched(q, ck, cv, pos, layer,
-                                                   interpret)
-        ck_l = jax.lax.dynamic_index_in_dim(ck, layer, 0, keepdims=False)
-        cv_l = jax.lax.dynamic_index_in_dim(cv, layer, 0, keepdims=False)
+    def attn_bidx(q, cache, pos, layer):
+        if not cache.quantized and q.shape[2] == 1 and q.shape[3] % 8 == 0:
+            return decode_attention_pallas_batched(q, cache.k, cache.v, pos,
+                                                   layer, interpret)
+        from fastllama_tpu.models.batched import _layer_slices
+        ck_l, cv_l = _layer_slices(cache, layer, q.dtype)
         return gqa_attention_batched(q, ck_l, cv_l, pos)
 
     return attn_bidx

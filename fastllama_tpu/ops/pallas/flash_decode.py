@@ -36,16 +36,23 @@ NEG_INF = -1e30
 DEFAULT_BLOCK = 256
 
 
-def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, o_ref,
-                  m_scr, l_scr, acc_scr, *, scale: float, block_s: int,
-                  nblocks: int, batched: bool):
+def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, *rest,
+                  scale: float, block_s: int, nblocks: int, batched: bool,
+                  quantized: bool = False):
     """Grid (B, n_kv, NB) [batched] or (n_kv, NB) [single].
-    scalars = [layer, pos_0..pos_{B-1}]."""
+    scalars = [layer, pos_0..pos_{B-1}].  With ``quantized``, K/V blocks are
+    int8 and two extra per-row fp32 scale refs precede the output ref."""
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
     if batched:
         b = pl.program_id(0)
+        h = pl.program_id(1)
         j = pl.program_id(2)
     else:
         b = 0
+        h = pl.program_id(0)
         j = pl.program_id(1)
     pos = scalars_ref[1 + b]
     cap = pos // block_s                       # last block holding valid rows
@@ -63,9 +70,24 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, o_ref,
         k = k_ref[0, 0, 0].astype(jnp.float32)       # (BS, hs)
         v = v_ref[0, 0, 0].astype(jnp.float32)
 
+        if quantized:
+            # scale blocks span ALL kv heads (Mosaic wants the block's
+            # second-minor dim full or 8-divisible); pick this program's
+            # head row with an iota mask — (n_kv, BS) is tiny
+            n_kv = ks_ref.shape[2]
+            row = jax.lax.broadcasted_iota(jnp.int32, (n_kv, block_s), 0)
+            ksv = jnp.sum(jnp.where(row == h, ks_ref[0, 0], 0.0),
+                          axis=0).reshape(1, block_s)
+            vsv = jnp.sum(jnp.where(row == h, vs_ref[0, 0], 0.0),
+                          axis=0).reshape(1, block_s)
+
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale        # (hgs, BS)
+        if quantized:
+            # per-row K scales land on the SCORE lanes (column s of scores
+            # = cache row s) — a lane broadcast, no transpose of (BS,) vecs
+            s = s * ksv
         col = jax.lax.broadcasted_iota(jnp.int32, (hgs, block_s), 1) \
             + j * block_s
         s = jnp.where(col <= pos, s, NEG_INF)
@@ -77,6 +99,9 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, o_ref,
         m_scr[:, :1] = m2
         l_scr[:, :1] = l_scr[:, :1] * corr + jnp.sum(e, axis=-1,
                                                      keepdims=True)
+        if quantized:
+            # fold per-row V scales into the probabilities (same lane axis)
+            e = e * vsv
         acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
             e, v, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -89,13 +114,16 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, o_ref,
 def flash_decode_batched(q: jax.Array, ck: jax.Array, cv: jax.Array,
                          pos: jax.Array, layer, s_bound: int = 0,
                          block_s: int = DEFAULT_BLOCK,
-                         interpret: bool = False) -> jax.Array:
+                         interpret: bool = False,
+                         k_scale=None, v_scale=None) -> jax.Array:
     """Per-slot decode attention over the FULL stacked batched cache, reading
     only cache rows [0, s_bound) from HBM.
 
     q: (B, n_heads, 1, hs); caches (L, B, n_kv, S, hs); pos (B,) int32;
     layer: traced scalar; ``s_bound``: static upper bound with every
-    ``pos[b] < s_bound`` (0 = max_seq_len).  Returns (B, n_heads, 1, hs)."""
+    ``pos[b] < s_bound`` (0 = max_seq_len).  ``k_scale``/``v_scale``
+    (L, B, n_kv, S, 1) mark an int8 cache: rows are dequantized in VMEM
+    right before the score/mix matmuls.  Returns (B, n_heads, 1, hs)."""
     B, n_heads, T, hs = q.shape
     L, Bc, n_kv, S, _ = ck.shape
     s_bound = min(s_bound or S, S)
@@ -105,21 +133,33 @@ def flash_decode_batched(q: jax.Array, ck: jax.Array, cv: jax.Array,
     scalars = jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
                                pos.astype(jnp.int32)])
 
+    quantized = k_scale is not None
     kernel = functools.partial(_flash_kernel, scale=1.0 / float(hs) ** 0.5,
-                               block_s=block_s, nblocks=NB, batched=True)
+                               block_s=block_s, nblocks=NB, batched=True,
+                               quantized=quantized)
+    kv_spec = pl.BlockSpec((1, 1, 1, block_s, hs),
+                           lambda b, h, j, s: (s[0], b, h, j, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1, hgs, hs), lambda b, h, j, s: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        kv_spec,
+        kv_spec,
+    ]
+    operands = [qh, ck, cv]
+    if quantized:
+        # scales are 4D (L, B, n_kv, S) — no trailing singleton (lane-pads
+        # 128x); blocks span all heads (Mosaic second-minor constraint) and
+        # the kernel row-selects; applied along the score lanes
+        sc_spec = pl.BlockSpec((1, 1, n_kv, block_s),
+                               lambda b, h, j, s: (s[0], b, 0, j),
+                               memory_space=pltpu.VMEM)
+        in_specs += [sc_spec, sc_spec]
+        operands += [k_scale, v_scale]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_kv, NB),
-        in_specs=[
-            pl.BlockSpec((1, 1, hgs, hs), lambda b, h, j, s: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, block_s, hs),
-                         lambda b, h, j, s: (s[0], b, h, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, block_s, hs),
-                         lambda b, h, j, s: (s[0], b, h, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, hgs, hs), lambda b, h, j, s: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -137,7 +177,7 @@ def flash_decode_batched(q: jax.Array, ck: jax.Array, cv: jax.Array,
             bytes_accessed=2 * B * n_kv * s_bound * hs * ck.dtype.itemsize,
             transcendentals=B * n_heads * s_bound),
         interpret=interpret,
-    )(scalars, qh, ck, cv)
+    )(scalars, *operands)
     return out.reshape(B, n_heads, 1, hs)
 
 
@@ -174,17 +214,20 @@ def round_bound(s_bound: int, S: int, block_s: int = DEFAULT_BLOCK) -> int:
 
 
 def make_attn_batched_flash(s_bound: int = 0, interpret: bool = False):
-    """attn_bidx(q, ck, cv, pos, layer) for models.batched.decode_step:
-    bounded-window kernel; jnp fallback where shapes don't fit."""
+    """attn_bidx(q, cache, pos, layer) for models.batched.decode_step:
+    bounded-window kernel (int8-dequant in VMEM when the cache is
+    quantized); jnp fallback where shapes don't fit."""
     from fastllama_tpu.ops.attention import gqa_attention_batched
 
-    def attn_bidx(q, ck, cv, pos, layer):
-        bs = _block_size(ck.shape[3])
+    def attn_bidx(q, cache, pos, layer):
+        bs = _block_size(cache.k.shape[3])
         if q.shape[2] == 1 and q.shape[3] % 8 == 0 and bs:
-            return flash_decode_batched(q, ck, cv, pos, layer, s_bound, bs,
-                                        interpret)
-        ck_l = jax.lax.dynamic_index_in_dim(ck, layer, 0, keepdims=False)
-        cv_l = jax.lax.dynamic_index_in_dim(cv, layer, 0, keepdims=False)
+            return flash_decode_batched(q, cache.k, cache.v, pos, layer,
+                                        s_bound, bs, interpret,
+                                        k_scale=cache.k_scale,
+                                        v_scale=cache.v_scale)
+        from fastllama_tpu.models.batched import _layer_slices
+        ck_l, cv_l = _layer_slices(cache, layer, q.dtype)
         return gqa_attention_batched(q, ck_l, cv_l, pos)
 
     return attn_bidx

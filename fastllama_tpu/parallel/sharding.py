@@ -135,13 +135,15 @@ def cache_sharding(cfg: ModelConfig, mesh: Mesh, batched: bool = False) -> KVCac
 
 
 def slot_cache_sharding(cfg: ModelConfig, mesh: Mesh, batch_size: int):
-    """Sharding for the continuous-batching cache (L, B, n_kv, S, hs):
-    slots over 'data' when they divide, kv-heads over 'model'."""
+    """Shardings for the continuous-batching cache: slots over 'data' when
+    they divide, kv-heads over 'model'.  Returns (data_sharding [5D
+    (L,B,n_kv,S,hs)], scale_sharding [4D (L,B,n_kv,S), int8 caches])."""
     mp = mesh.shape[MODEL_AXIS]
     dp = mesh.shape[DATA_AXIS]
     head_ax = MODEL_AXIS if cfg.n_kv_heads % mp == 0 else None
     slot_ax = DATA_AXIS if dp > 1 and batch_size % dp == 0 else None
-    return NamedSharding(mesh, P(None, slot_ax, head_ax, None, None))
+    return (NamedSharding(mesh, P(None, slot_ax, head_ax, None, None)),
+            NamedSharding(mesh, P(None, slot_ax, head_ax, None)))
 
 
 def pad_hidden_for_sharding(cfg: ModelConfig, weights: dict, model_parallel: int

@@ -217,6 +217,28 @@ def unpack_int4_rows(packed: jax.Array) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=-2)
 
 
+def quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8 quantization over the LAST axis (one scale per
+    row, round-to-nearest): the KV-cache scheme.  Unlike weights (fixed at
+    convert time, reference truncation semantics), cache rows are quantized
+    on the fly each step, so we use rounding for the extra half-bit.
+
+    Returns (int8 data, f32 scales with a trailing singleton axis) —
+    scales keep shape (..., 1) so kernels broadcast along lanes."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = amax / 127.0
+    safe = jnp.where(scale > 0, scale, 1.0)
+    q = jnp.clip(jnp.round(xf / safe), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_rows(q: jax.Array, scales: jax.Array,
+                    dtype=jnp.float32) -> jax.Array:
+    """Inverse of :func:`quantize_rows`."""
+    return (q.astype(jnp.float32) * scales).astype(dtype)
+
+
 def unpack_int4_np(packed: np.ndarray) -> np.ndarray:
     """Inverse of :func:`pack_int4_np`: two's-complement nibbles → int8."""
     lo = (packed & 0x0F).astype(np.int8)

@@ -149,9 +149,10 @@ class BatchedEngine:
         self.cache = BatchedKVCache.create(config, self.B, dtype=self.kv_dtype)
         if self.mesh is not None:
             from fastllama_tpu.parallel.sharding import slot_cache_sharding
-            sh = slot_cache_sharding(config, self.mesh, self.B)
-            self.cache = BatchedKVCache(jax.device_put(self.cache.k, sh),
-                                        jax.device_put(self.cache.v, sh))
+            sh5, sh4 = slot_cache_sharding(config, self.mesh, self.B)
+            self.cache = jax.tree.map(
+                lambda a: jax.device_put(a, sh5 if a.ndim == 5 else sh4),
+                self.cache)
         self._keys = jax.random.split(jax.random.PRNGKey(0), self.B)
 
         # host slot state

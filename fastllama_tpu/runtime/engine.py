@@ -81,6 +81,10 @@ class Engine:
         self.tokenizer = tokenizer
         self.ec = ec
         self.kv_dtype = jnp.dtype(ec.kv_dtype)
+        if self.kv_dtype == jnp.int8:
+            raise NotImplementedError(
+                "kv_dtype='int8' is a BatchedEngine feature (per-row "
+                "quantized cache); the single-stream engine keeps fp/bf16")
         self._cdt = jnp.dtype(jnp.float32 if ec.parity_mode else ec.compute_dtype)
         self._attn_idx_factory = None
         if ec.parity_mode:

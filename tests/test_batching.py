@@ -266,3 +266,69 @@ def test_round_bound():
     assert round_bound(257, 1024) == 512
     assert round_bound(2000, 1024) == 1024
     assert round_bound(5, 64) == 64  # S < block: whole cache
+
+
+def test_int8_kv_cache_close_to_fp32(ckpt):
+    """Engine-level: int8 per-row-quantized KV cache produces logits close
+    to the fp32 cache (same weights, same prompts)."""
+    be_f = BatchedEngine.load(
+        ckpt[0], ckpt[1], FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=2,
+                     compute_dtype="float32"), decode_chunk=4)
+    be_q = BatchedEngine.load(
+        ckpt[0], ckpt[1], FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=2,
+                     compute_dtype="float32", kv_dtype="int8"),
+        decode_chunk=4)
+    assert be_q.cache.quantized and be_q.cache.k.dtype == jnp.int8
+    rf = be_f.generate_all(PROMPTS[:2], max_new_tokens=8, temperature=0.0,
+                           stop_tokens=())
+    rq = be_q.generate_all(PROMPTS[:2], max_new_tokens=8, temperature=0.0,
+                           stop_tokens=())
+    # int8 KV perturbs logits slightly; greedy tokens should mostly agree
+    agree = sum(a == b for r1, r2 in zip(rf, rq)
+                for a, b in zip(r1.output_tokens, r2.output_tokens))
+    total = sum(len(r.output_tokens) for r in rf)
+    assert agree >= total * 0.7, f"only {agree}/{total} tokens agree"
+    for r in rq:
+        assert r.done and len(r.output_tokens) == 8
+
+
+def test_quantize_rows_roundtrip():
+    from fastllama_tpu.quant.groupquant import dequantize_rows, quantize_rows
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 6, 32)) * 3.0
+    q, s = quantize_rows(x)
+    assert q.dtype == jnp.int8 and s.shape == (4, 6, 1)
+    back = dequantize_rows(q, s)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                               atol=float(jnp.max(jnp.abs(x))) / 127 * 0.51)
+    # zero rows stay zero (no div-by-zero)
+    q0, s0 = quantize_rows(jnp.zeros((2, 8)))
+    assert not np.any(np.asarray(q0))
+
+
+def test_flash_decode_quantized_interpret():
+    """int8-cache flash kernel == jnp attention over the dequantized cache."""
+    from fastllama_tpu.ops.pallas.flash_decode import flash_decode_batched
+    from fastllama_tpu.quant.groupquant import dequantize_rows, quantize_rows
+
+    B, L, n_kv, hgs, S, hs = 2, 2, 2, 2, 64, 8
+    n_heads = n_kv * hgs
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    q = jax.random.normal(ks[0], (B, n_heads, 1, hs), jnp.float32)
+    ckf = jax.random.normal(ks[1], (L, B, n_kv, S, hs), jnp.float32)
+    cvf = jax.random.normal(ks[2], (L, B, n_kv, S, hs), jnp.float32)
+    ck, ck_s = quantize_rows(ckf)
+    cv, cv_s = quantize_rows(cvf)
+    ck_s4, cv_s4 = ck_s[..., 0], cv_s[..., 0]   # cache stores 4D scales
+    pos = jnp.asarray([5, 63], jnp.int32)
+    for layer in (0, 1):
+        got = flash_decode_batched(q, ck, cv, pos, layer, block_s=16,
+                                   interpret=True, k_scale=ck_s4,
+                                   v_scale=cv_s4)
+        want = gqa_attention_batched(q, dequantize_rows(ck[layer], ck_s[layer]),
+                                     dequantize_rows(cv[layer], cv_s[layer]),
+                                     pos)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)

@@ -69,6 +69,16 @@ class ModelConfig:
     rope_theta: float = 10000.0
     norm_eps: float = 1e-5
 
+    # YaRN / NTK context-extension knobs (reference rope_v2 carries this
+    # scaffolding dormant with ext_factor=0, tf_operators.cpp:355-372;
+    # live here).  rope_orig_ctx 0 = max_seq_len.
+    rope_freq_scale: float = 1.0
+    rope_ext_factor: float = 0.0
+    rope_attn_factor: float = 1.0
+    rope_beta_fast: float = 32.0
+    rope_beta_slow: float = 1.0
+    rope_orig_ctx: int = 0
+
     quant_type: QuantType = QuantType.INT8
     group_size: int = 64  # reference default: tensor.h:49
 

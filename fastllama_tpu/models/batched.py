@@ -35,7 +35,7 @@ from fastllama_tpu.models.llama import LlamaParams, embed_tokens
 from fastllama_tpu.ops.attention import gqa_attention, gqa_attention_batched
 from fastllama_tpu.ops.norms import rmsnorm, swiglu
 from fastllama_tpu.ops.qmatmul import qmatmul
-from fastllama_tpu.ops.rope import apply_rope_half, rope_cos_sin
+from fastllama_tpu.ops.rope import apply_rope_half, rope_tables
 from fastllama_tpu.quant.groupquant import QArray
 
 
@@ -171,8 +171,8 @@ def prefill_into_slot(cfg: ModelConfig, params: LlamaParams,
     proj = _make_proj(mm, mm_idx, compute_dtype)
 
     x = embed_tokens(params.embedding, tokens, compute_dtype)       # (T, dim)
-    cos, sin = rope_cos_sin(jnp.arange(T, dtype=jnp.int32), hs,
-                            cfg.rope_theta, compute_dtype)
+    cos, sin = rope_tables(cfg, jnp.arange(T, dtype=jnp.int32),
+                           compute_dtype)
 
     # K/V leave the scan as OUTPUTS (tiny (L, n_kv, T, hs) stacks) and hit
     # the big cache in ONE slice-update afterwards.  Carrying the cache
@@ -234,7 +234,7 @@ def decode_step(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array,
     proj = _make_proj(mm, mm_idx, compute_dtype)
 
     x = embed_tokens(params.embedding, tokens, compute_dtype)       # (B, dim)
-    cos, sin = rope_cos_sin(pos, hs, cfg.rope_theta, compute_dtype)  # (B, hs/2)
+    cos, sin = rope_tables(cfg, pos, compute_dtype)      # (B, hs/2)
 
     def scan_fn(carry, layer):
         x, cache = carry

@@ -27,7 +27,7 @@ from fastllama_tpu.config import ModelConfig, QuantType
 from fastllama_tpu.ops.attention import gqa_attention, update_kv_cache
 from fastllama_tpu.ops.norms import rmsnorm, swiglu
 from fastllama_tpu.ops.qmatmul import qmatmul
-from fastllama_tpu.ops.rope import apply_rope_half, rope_cos_sin
+from fastllama_tpu.ops.rope import apply_rope_half, rope_tables
 from fastllama_tpu.quant.groupquant import QArray, dequantize, quantize
 
 
@@ -65,10 +65,11 @@ class KVCache:
     """Preallocated cache, (L, n_kv_heads, max_seq, head_size).
 
     ``dtype='int8'`` stores rows int8-quantized with per-row fp32 scales
-    (``k_scale``/``v_scale``, shape (..., max_seq, 1)) — half the HBM
-    traffic and footprint of bf16; rows are quantized at write
-    (quant/groupquant.quantize_rows) and dequantized inside the attention
-    kernels.  The reference keeps fp32 KV (transformer.cpp:368)."""
+    (``k_scale``/``v_scale``, shape (L, n_kv, max_seq) — no trailing
+    singleton, which would lane-pad 128x on TPU).  Today the int8 cache is
+    consumed by the batched engine only (runtime/batching.py); the
+    single-stream Engine keeps fp/bf16 KV.  The reference keeps fp32 KV
+    (transformer.cpp:368)."""
 
     k: jax.Array
     v: jax.Array
@@ -85,7 +86,7 @@ class KVCache:
         S = max_seq_len or cfg.max_seq_len
         shape = (cfg.n_layers, cfg.n_kv_heads, S, cfg.head_size)
         if jnp.dtype(dtype) == jnp.int8:
-            sshape = shape[:-1] + (1,)
+            sshape = shape[:-1]
             return KVCache(jnp.zeros(shape, jnp.int8),
                            jnp.zeros(shape, jnp.int8),
                            jnp.ones(sshape, jnp.float32),
@@ -161,7 +162,7 @@ def forward(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array, pos,
 
     x = embed_tokens(params.embedding, tokens, compute_dtype)       # (T, dim)
     positions = pos + jnp.arange(T, dtype=jnp.int32)
-    cos, sin = rope_cos_sin(positions, hs, cfg.rope_theta, compute_dtype)
+    cos, sin = rope_tables(cfg, positions, compute_dtype)
 
     fused = params.wk is None
     qdim, kvdim = n_heads * hs, cfg.kv_dim

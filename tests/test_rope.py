@@ -64,3 +64,51 @@ def test_deinterleave_heads():
     for h in range(n_heads):
         np.testing.assert_array_equal(out[h * hs:(h + 1) * hs],
                                       w[h * hs:(h + 1) * hs][perm])
+
+
+def test_yarn_matches_scalar_reference():
+    """rope_cos_sin_yarn vs a direct numpy port of the reference rope_v2
+    YaRN math (tf_operators.cpp:352-402) with ext_factor enabled."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fastllama_tpu.ops.rope import rope_cos_sin_yarn
+
+    hs, base, orig_ctx = 16, 10000.0, 512
+    freq_scale, ext_factor, attn_factor = 0.25, 1.0, 1.0
+    beta_fast, beta_slow = 32.0, 1.0
+    pos = 100
+
+    def corr_dim(n_rot):
+        return hs * np.log(orig_ctx / (n_rot * 2 * np.pi)) / (2 * np.log(base))
+
+    c0 = max(0.0, np.floor(corr_dim(beta_fast)))
+    c1 = min(hs - 1.0, np.ceil(corr_dim(beta_slow)))
+    theta_scale = base ** (-2.0 / hs)
+    theta_base = float(pos)
+    want_cos, want_sin = [], []
+    for i in range(0, hs, 2):
+        theta_interp = freq_scale * theta_base
+        ramp = 1 - min(1.0, max(0.0, (i / 2 - c0) / max(1e-3, c1 - c0)))
+        theta = theta_interp * (1 - ramp) + theta_base * ramp
+        mscale = attn_factor * (1.0 + 0.1 * np.log(1.0 / freq_scale))
+        want_cos.append(np.cos(theta) * mscale)
+        want_sin.append(np.sin(theta) * mscale)
+        theta_base *= theta_scale
+
+    cos, sin = rope_cos_sin_yarn(jnp.asarray([pos]), hs, base, freq_scale,
+                                 ext_factor, attn_factor, beta_fast,
+                                 beta_slow, orig_ctx)
+    np.testing.assert_allclose(np.asarray(cos[0]), want_cos, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(sin[0]), want_sin, rtol=2e-5)
+
+
+def test_yarn_ext0_is_plain_rope_scaled():
+    import numpy as np
+    import jax.numpy as jnp
+    from fastllama_tpu.ops.rope import rope_cos_sin, rope_cos_sin_yarn
+
+    pos = jnp.asarray([0, 7, 31])
+    c1, s1 = rope_cos_sin_yarn(pos, 8, ext_factor=0.0, freq_scale=1.0)
+    c2, s2 = rope_cos_sin(pos, 8)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))

@@ -39,7 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--numa", action="store_true", help="ignored on TPU")
     p.add_argument("--uma", action="store_true", help="ignored on TPU")
     p.add_argument("-m", "--mode", default="gen",
-                   choices=["gen", "generate", "chat", "benchmark", "bm"])
+                   choices=["gen", "generate", "chat", "benchmark", "bm",
+                            "serve"])
     p.add_argument("--rounds", type=int, default=0)
     p.add_argument("--seed", type=int, default=128391297)
     p.add_argument("--max-seq-len", type=int, default=1024,
@@ -60,8 +61,48 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile-dir", default="",
                    help="write a jax.profiler trace of the run to this dir "
                         "(view with XProf / TensorBoard profile plugin)")
+    p.add_argument("--batch", type=int, default=8,
+                   help="serving slots for --mode serve (continuous batching)")
+    p.add_argument("--prompts-file", default="",
+                   help="--mode serve: file with one prompt per line "
+                        "(default: stdin)")
     p.add_argument("--debug", action="store_true")
     return p
+
+
+def serve_mode(args) -> int:
+    """Continuous-batching batch job: read prompts (file or stdin), serve
+    them through BatchedEngine slots, print completions + aggregate stats."""
+    from fastllama_tpu.runtime.batching import BatchedEngine
+
+    ec = EngineConfig(max_seq_len=args.max_seq_len, kv_dtype=args.kv_dtype,
+                      use_pallas=not args.no_pallas, mesh=args.mesh,
+                      max_batch_size=args.batch)
+    eng = BatchedEngine.load(args.checkpoint, args.tokenizer,
+                             FileType.parse(args.file_type),
+                             QuantType.parse(args.quant), ec,
+                             decode_chunk=args.decode_chunk)
+    if args.prompts_file:
+        with open(args.prompts_file, encoding="utf-8") as f:
+            prompts = [ln.rstrip("\n") for ln in f if ln.strip()]
+    else:
+        prompts = [ln.rstrip("\n") for ln in sys.stdin if ln.strip()]
+    if not prompts:
+        print("no prompts", file=sys.stderr)
+        return 2
+    reqs = [eng.submit(pr, max_new_tokens=args.max_new_tokens,
+                       temperature=args.temperature, topp=args.topp,
+                       seed=args.seed + i)
+            for i, pr in enumerate(prompts)]
+    stats = eng.run()
+    for r in reqs:
+        print(f"[{r.id}] ttft={r.ttft*1000:.0f}ms "
+              f"tokens={len(r.output_tokens)}\n{r.text(eng.tokenizer)}\n")
+    print(f"served {stats.completed} requests | aggregate decode "
+          f"{stats.aggregate_tps:.1f} tok/s | {stats.total_output_tokens} "
+          f"tokens in {stats.decode_s:.2f}s (+{stats.prefill_s:.2f}s prefill)",
+          file=sys.stderr)
+    return 0
 
 
 def encode_decode(args) -> int:
@@ -112,6 +153,8 @@ def main(argv=None) -> int:
     if not args.checkpoint:
         print("error: -c/--checkpoint is required", file=sys.stderr)
         return 2
+    if args.mode == "serve":
+        return serve_mode(args)
 
     from fastllama_tpu.runtime.engine import Engine
 

@@ -39,8 +39,22 @@ def is_hf_dir(path: str) -> bool:
 
 
 def _config_from_json(d: dict) -> ModelConfig:
-    """config.json key mapping (convert_flm.py:355-384)."""
+    """config.json key mapping (convert_flm.py:355-384), plus HF
+    ``rope_scaling`` -> the engine's YaRN knobs (ops/rope.py)."""
     n_heads = int(d["num_attention_heads"])
+    rope = dict(rope_freq_scale=1.0, rope_ext_factor=0.0,
+                rope_attn_factor=1.0, rope_orig_ctx=0)
+    rs = d.get("rope_scaling") or {}
+    rtype = str(rs.get("rope_type", rs.get("type", ""))).lower()
+    if rtype in ("linear",):
+        rope["rope_freq_scale"] = 1.0 / float(rs.get("factor", 1.0))
+    elif rtype in ("yarn",):
+        rope["rope_freq_scale"] = 1.0 / float(rs.get("factor", 1.0))
+        rope["rope_ext_factor"] = 1.0
+        rope["rope_attn_factor"] = float(rs.get("attention_factor", 1.0))
+        rope["rope_orig_ctx"] = int(
+            rs.get("original_max_position_embeddings", 0))
+    # other rope_type values (e.g. llama3) are left as plain RoPE for now
     return ModelConfig(
         dim=int(d["hidden_size"]),
         hidden_dim=int(d["intermediate_size"]),
@@ -52,6 +66,7 @@ def _config_from_json(d: dict) -> ModelConfig:
         rope_theta=float(d.get("rope_theta", 10000.0)),
         norm_eps=float(d.get("rms_norm_eps", 1e-5)),
         name=str(d.get("_name_or_path", "") or d.get("model_type", "")),
+        **rope,
     )
 
 

@@ -143,3 +143,19 @@ def test_chat_session_multi_turn(engine):
     r2 = sess.generate("the dog", max_new_tokens=4, temperature=0.0)
     assert sess.pos > pos_after_1
     assert isinstance(r1, str) and isinstance(r2, str)
+
+
+def test_cli_serve_mode(tmp_path, capsys):
+    from fastllama_tpu import cli
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path))
+    pf = tmp_path / "prompts.txt"
+    pf.write_text("the cat\nthe dog\nhello\n")
+    rc = cli.main(["-c", ckpt, "-z", tokp, "-f", "llama2c",
+                   "--mode", "serve", "--batch", "2",
+                   "--prompts-file", str(pf), "-n", "6", "-t", "0",
+                   "--max-seq-len", "64"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("ttft=") == 3

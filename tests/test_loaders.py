@@ -232,3 +232,24 @@ def test_gguf_reader(tmp_path):
     logits, _ = jax.jit(lambda p, t, c: forward(cfg2, p, t, 0, c))(
         params, tokens, KVCache.create(cfg2))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_hf_rope_scaling_parsing():
+    from fastllama_tpu.loaders.hf import _config_from_json
+
+    base = dict(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                num_attention_heads=4, vocab_size=256,
+                max_position_embeddings=512)
+    c = _config_from_json(dict(base))
+    assert c.rope_freq_scale == 1.0 and c.rope_ext_factor == 0.0
+
+    c = _config_from_json(dict(base, rope_scaling={"type": "linear",
+                                                   "factor": 4.0}))
+    assert c.rope_freq_scale == 0.25 and c.rope_ext_factor == 0.0
+
+    c = _config_from_json(dict(base, rope_scaling={
+        "rope_type": "yarn", "factor": 2.0,
+        "original_max_position_embeddings": 256}))
+    assert c.rope_freq_scale == 0.5
+    assert c.rope_ext_factor == 1.0
+    assert c.rope_orig_ctx == 256

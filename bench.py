@@ -90,7 +90,7 @@ def bench_batched(cfg, params, n_tokens, chunk, prompt, batch, kv_dtype):
           file=sys.stderr)
 
     eng.stats.decode_s = eng.stats.prefill_s = 0.0
-    eng.stats.total_output_tokens = 0
+    eng.stats.total_output_tokens = eng.stats.decode_tokens = 0
     # n_tokens % chunk == 0 keeps every decode chunk at full size
     for _ in range(batch):
         eng.submit(prompt, max_new_tokens=n_tokens + 1, temperature=0.0,

@@ -81,10 +81,8 @@ class BatchedKVCache:
 
 def _take_layer(w, l):
     """Fallback layer indexing of a stacked weight (dynamic-slice copy) —
-    only used when no layer-indexed Pallas kernel is active (CPU tests)."""
-    if isinstance(w, QArray):
-        return QArray(w.data[l], w.scales[l], w.qtype, w.group_size,
-                      w.group_axis)
+    only used when no layer-indexed Pallas kernel is active (CPU tests).
+    QArray.__getitem__ preserves the static flags (qtype/packed/...)."""
     return w[l]
 
 

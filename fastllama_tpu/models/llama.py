@@ -435,9 +435,11 @@ def random_params_int(cfg: ModelConfig, seed: int = 0,
             from fastllama_tpu.ops.pallas.qmm import pack_supported
             packed = pack and pack_supported(shape[-2], shape[-1], gs)
             if packed:
-                # pack on device: low nibble = even row, high = odd
-                lo = data[..., 0::2, :].astype(jnp.int32) & 0x0F
-                hi = (data[..., 1::2, :].astype(jnp.int32) & 0x0F) << 4
+                # pack on device in SPLIT-HALF order (pack_int4_rows_np):
+                # low nibble = row i, high nibble = row i + I/2
+                half = shape[-2] // 2
+                lo = data[..., :half, :].astype(jnp.int32) & 0x0F
+                hi = (data[..., half:, :].astype(jnp.int32) & 0x0F) << 4
                 data = (lo | hi).astype(jnp.int8)
             res[name] = QArray(data, jnp.full(sshape, sval, jnp.float32),
                                qtype, gs, group_axis=-2, packed=packed)

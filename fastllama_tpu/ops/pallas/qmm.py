@@ -130,6 +130,8 @@ def supported(x: jax.Array, w) -> bool:
             return False
         TT, TO, TKp = _pick_tiles_packed(T, O, I // 2, gs)
         return TO > 0 and TKp > 0 and T % TT == 0
+    if w.data.shape[0] != I:
+        return False
     TT, TO, TK = _pick_tiles(T, O, I, gs, w.data.dtype.itemsize)
     return TO > 0 and T % TT == 0 and I % TK == 0
 
@@ -175,7 +177,10 @@ def qmatmul_pallas(x: jax.Array, w: QArray, compute_dtype=jnp.bfloat16,
         return out.astype(x.dtype)
 
     TT, TO, TK = _pick_tiles(T, O, I, gs, w.data.dtype.itemsize)
-    wide = w.qtype == QuantType.INT16
+    # INT16 values overflow bf16's mantissa; an explicit fp32 compute_dtype
+    # also gets the full-precision path (parity with the jnp fallback)
+    wide = (w.qtype == QuantType.INT16
+            or jnp.dtype(compute_dtype) == jnp.float32)
 
     kernel = functools.partial(_qmm_kernel, gs=gs, wide=wide)
     out = pl.pallas_call(
@@ -358,7 +363,8 @@ def qmatmul_pallas_indexed(x: jax.Array, w: QArray, layer,
         return out.astype(x.dtype)
 
     TT, TO, TK = _pick_tiles(T, O, I, gs, w.data.dtype.itemsize)
-    wide = w.qtype == QuantType.INT16
+    wide = (w.qtype == QuantType.INT16
+            or jnp.dtype(compute_dtype) == jnp.float32)
 
     kernel = functools.partial(_qmm_kernel_idx, gs=gs, wide=wide)
     grid_spec = pltpu.PrefetchScalarGridSpec(

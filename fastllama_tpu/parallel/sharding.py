@@ -73,7 +73,10 @@ def _leaf(mesh: Mesh, value, data_spec: P):
     if isinstance(value, QArray):
         ds = NamedSharding(mesh, data_spec)
         ss = NamedSharding(mesh, _fit_spec(mesh, value.scales.shape, data_spec))
-        return QArray(ds, ss, value.qtype, value.group_size, value.group_axis)
+        # static fields (incl. packed) must match the params tree exactly —
+        # register_dataclass statics are part of the treedef
+        return QArray(ds, ss, value.qtype, value.group_size, value.group_axis,
+                      value.packed)
     return NamedSharding(mesh, data_spec)
 
 

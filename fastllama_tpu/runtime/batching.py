@@ -81,14 +81,17 @@ class BatchStats:
 
     completed: int = 0
     total_prompt_tokens: int = 0
-    total_output_tokens: int = 0
+    total_output_tokens: int = 0    # all emitted tokens (incl. prefill-sampled)
+    decode_tokens: int = 0          # tokens produced by decode chunks only
     decode_s: float = 0.0
     prefill_s: float = 0.0
 
     @property
     def aggregate_tps(self) -> float:
-        return (self.total_output_tokens / self.decode_s
-                if self.decode_s else 0.0)
+        """Decode throughput: decode-produced tokens over decode wall time
+        (each request's first token is sampled during prefill and its cost
+        sits in prefill_s — counting it here would overstate tok/s)."""
+        return self.decode_tokens / self.decode_s if self.decode_s else 0.0
 
 
 class BatchedEngine:
@@ -310,21 +313,28 @@ class BatchedEngine:
         self.stats.prefill_s += time.perf_counter() - t0
         self.stats.total_prompt_tokens += len(toks)
         # the sampled-first token is emitted immediately (it exists even if
-        # it's a stop token — mirroring Engine.generate's emit-then-check)
-        self._emit(slot, first)
+        # it's a stop token — mirroring Engine.generate's emit-then-check);
+        # its cost was paid in prefill_s, so it doesn't count as decode
+        self._emit(slot, first, from_decode=False)
 
-    def _emit(self, slot: int, tok: int) -> None:
-        """Append one accepted token to slot's request; free on stop/limit."""
+    def _emit(self, slot: int, tok: int, from_decode: bool = True) -> None:
+        """Append one accepted token to slot's request; free on stop/limit,
+        or when the callback returns False (cancel — same contract as
+        Engine.generate's streaming callback)."""
         req = self.slot_req[slot]
         if not req.output_tokens:
             req.first_token_s = time.perf_counter()
         req.output_tokens.append(tok)
         self.stats.total_output_tokens += 1
+        if from_decode:
+            self.stats.decode_tokens += 1
+        cancelled = False
         if req.callback is not None:
             text = self.tokenizer.decode_one(tok, req._prev_token)
-            req.callback(text, tok)
+            cancelled = req.callback(text, tok) is False
         req._prev_token = tok
-        if tok in req.stop_tokens or len(req.output_tokens) >= req.max_new_tokens:
+        if cancelled or tok in req.stop_tokens \
+                or len(req.output_tokens) >= req.max_new_tokens:
             req.done = True
             req.finish_s = time.perf_counter()
             self.slot_req[slot] = None
@@ -351,6 +361,11 @@ class BatchedEngine:
                 max(req.max_new_tokens - len(req.output_tokens)
                     for req in (self.slot_req[b] for b in live)))
         K = max(K, 1)
+        # bucket K DOWN to a power of two: each distinct K compiles its own
+        # K-step whole-model scan, and the tail of a request would otherwise
+        # produce arbitrary values in [1, decode_chunk] (log2 variants
+        # instead); rounding down never overruns position/length bounds
+        K = 1 << (K.bit_length() - 1)
         greedy_only = all(self.slot_req[b].temperature <= 0.0 for b in live)
         s_bound = 0
         if self._attn_bidx_factory is not None:

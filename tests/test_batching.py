@@ -332,3 +332,80 @@ def test_flash_decode_quantized_interpret():
                                      pos)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_callback_cancel_frees_slot(batched):
+    """Returning False from the streaming callback cancels the request
+    (Engine.generate's contract) and frees the slot."""
+    _reset(batched)
+    seen = []
+
+    def cb(text, tok):
+        seen.append(tok)
+        return len(seen) < 3
+
+    req = batched.submit(PROMPTS[0], max_new_tokens=20, temperature=0.0,
+                         stop_tokens=(), callback=cb)
+    batched.run()
+    assert req.done
+    assert len(req.output_tokens) == 3
+    assert all(r is None for r in batched.slot_req)
+
+
+def test_packed_int4_fallback_paths():
+    """decode_step/prefill_into_slot on packed INT4 params with NO Pallas
+    kernels (mm_idx=None) — the CPU/mesh fallback — must work and match the
+    unpacked params exactly."""
+    cfg = ModelConfig(dim=1024, hidden_dim=1024, n_layers=2, n_heads=8,
+                      n_kv_heads=8, vocab_size=128, max_seq_len=16,
+                      quant_type=QuantType.INT4)
+    from fastllama_tpu.models.llama import random_params_int
+    import dataclasses
+    from fastllama_tpu.quant.groupquant import unpack_int4_rows
+
+    params = random_params_int(cfg, seed=1)
+    assert params.wq.packed
+    unp = jax.tree_util.tree_map(
+        lambda x: x, params)
+    def unpack_leaf(v):
+        from fastllama_tpu.quant.groupquant import QArray
+        if isinstance(v, QArray) and v.packed:
+            return QArray(unpack_int4_rows(v.data), v.scales, v.qtype,
+                          v.group_size, v.group_axis, packed=False)
+        return v
+    fields = {f.name: unpack_leaf(getattr(params, f.name))
+              for f in dataclasses.fields(params)}
+    params_unp = type(params)(**fields)
+
+    toks = jnp.asarray([3, 9, 2], jnp.int32)
+    bc1 = BatchedKVCache.create(cfg, 2)
+    bc2 = BatchedKVCache.create(cfg, 2)
+    lg1, bc1 = prefill_into_slot(cfg, params, toks, 3, 0, bc1)
+    lg2, bc2 = prefill_into_slot(cfg, params_unp, toks, 3, 0, bc2)
+    np.testing.assert_allclose(np.asarray(lg1), np.asarray(lg2),
+                               rtol=1e-5, atol=1e-5)
+    pend = jnp.asarray([5, 0], jnp.int32)
+    pos = jnp.asarray([3, 0], jnp.int32)
+    d1, _ = decode_step(cfg, params, pend, pos, bc1)
+    d2, _ = decode_step(cfg, params_unp, pend, pos, bc2)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_int4_shard_params():
+    """shard_params on a packed INT4 model must preserve the packed flag
+    (static treedef field) and produce a usable tree."""
+    from fastllama_tpu.models.llama import random_params_int
+    from fastllama_tpu.parallel.sharding import make_mesh, shard_params
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    cfg = ModelConfig(dim=1024, hidden_dim=1024, n_layers=2, n_heads=8,
+                      n_kv_heads=8, vocab_size=256, max_seq_len=16,
+                      quant_type=QuantType.INT4)
+    params = random_params_int(cfg, seed=0)
+    assert params.wq.packed
+    mesh = make_mesh("data=1,model=2", jax.devices()[:2])
+    sp = shard_params(cfg, mesh, params)
+    assert sp.wq.packed
+    assert sp.wq.data.shape == params.wq.data.shape

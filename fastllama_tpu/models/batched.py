@@ -221,10 +221,18 @@ def decode_step(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array,
     """One decode token for every slot: tokens (B,) at per-slot positions
     pos (B,).  Returns (logits (B, vocab), cache).
 
-    ``attn_bidx(q, cache, pos, l)`` is the batched layer-indexed decode
-    attention (Pallas over the full stacked cache, int8-dequant in VMEM when
-    quantized); the jnp fallback slices + dequantizes layer ``l`` (a copy —
-    test path only).
+    Cache writes are DEFERRED: attention reads cache rows [0, pos[b])
+    STRICTLY plus the fresh K/V row passed straight into the kernel, and
+    every layer's new rows leave the scan as outputs, landing in the cache
+    with B slab-updates after the scan.  Writing inside the scan was the
+    dominant decode cost: a python loop of 2B dynamic_update_slices per
+    layer measured 18 ms/step at B=24 on v5e (kernel-launch bound), and a
+    one-scatter-per-layer variant made XLA copy the whole cache (HBM OOM).
+
+    ``attn_bidx(q, cache, pos, l, k_new, v_new)`` is the batched
+    layer-indexed decode attention (Pallas over the full stacked cache,
+    int8-dequant in VMEM when quantized); the jnp fallback slices +
+    dequantizes layer ``l`` (a copy — test path only).
     """
     from fastllama_tpu.quant.groupquant import quantize_rows
     B = tokens.shape[0]
@@ -234,8 +242,7 @@ def decode_step(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array,
     x = embed_tokens(params.embedding, tokens, compute_dtype)       # (B, dim)
     cos, sin = rope_tables(cfg, pos, compute_dtype)      # (B, hs/2)
 
-    def scan_fn(carry, layer):
-        x, cache = carry
+    def scan_fn(x, layer):
         l, attn_norm_l, ffn_norm_l = layer
 
         h = rmsnorm(x, attn_norm_l, cfg.norm_eps)
@@ -246,46 +253,43 @@ def decode_step(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array,
         q = apply_rope_half(q, cos[:, None], sin[:, None])
         k = apply_rope_half(k, cos[:, None], sin[:, None])
 
-        # write each slot's new row at (l, b, :, pos[b], :); B is static and
-        # small, so B tiny dynamic_update_slices stay in place under donation
-        ck, cv = cache.k, cache.v
-        ksc, vsc = cache.k_scale, cache.v_scale
-        if cache.quantized:
-            kq, ks_ = quantize_rows(k)               # (B, n_kv, hs), (B, n_kv, 1)
-            vq, vs_ = quantize_rows(v)
-            kwv, vwv = kq, vq
-        else:
-            kwv, vwv = k, v
-        for b in range(B):
-            ck = jax.lax.dynamic_update_slice(
-                ck, kwv[b][None, None, :, None].astype(ck.dtype),
-                (l, b, 0, pos[b], 0))
-            cv = jax.lax.dynamic_update_slice(
-                cv, vwv[b][None, None, :, None].astype(cv.dtype),
-                (l, b, 0, pos[b], 0))
-            if cache.quantized:
-                # ks_[b]: (n_kv, 1) -> (1, 1, n_kv, 1) row in (L, B, n_kv, S)
-                ksc = jax.lax.dynamic_update_slice(
-                    ksc, ks_[b][None, None], (l, b, 0, pos[b]))
-                vsc = jax.lax.dynamic_update_slice(
-                    vsc, vs_[b][None, None], (l, b, 0, pos[b]))
-        cache = BatchedKVCache(ck, cv, ksc, vsc)
-
         if attn_bidx is not None:
-            o = attn_bidx(q[:, :, None], cache, pos, l)      # (B, H, 1, hs)
+            o = attn_bidx(q, cache, pos, l, k, v)            # (B, H, hs)
         else:
+            from fastllama_tpu.ops.attention import \
+                gqa_attention_decode_batched
             ck_l, cv_l = _layer_slices(cache, l, compute_dtype)
-            o = gqa_attention_batched(q[:, :, None], ck_l, cv_l, pos)
+            o = gqa_attention_decode_batched(q, ck_l, cv_l, k, v, pos)
         o = o.reshape(B, n_heads * hs)
         x = x + proj(o, params.wo, l)
 
         h = rmsnorm(x, ffn_norm_l, cfg.norm_eps)
         x = x + _ffn(cfg, params, proj, h, l)
-        return (x, cache), None
+        return x, (k, v)
 
     xs = (jnp.arange(cfg.n_layers, dtype=jnp.int32),
           params.attn_norm, params.ffn_norm)
-    (x, new_cache), _ = jax.lax.scan(scan_fn, (x, cache), xs)
+    x, (ks, vs) = jax.lax.scan(scan_fn, x, xs)      # (L, B, n_kv, hs)
+
+    # land all layers' new rows: B slab updates of (L, 1, n_kv, 1, hs)
+    ck, cv = cache.k, cache.v
+    ksc, vsc = cache.k_scale, cache.v_scale
+    if cache.quantized:
+        kq, ks_ = quantize_rows(ks)                 # (L, B, n_kv, hs/1)
+        vq, vs_ = quantize_rows(vs)
+    else:
+        kq, vq = ks.astype(ck.dtype), vs.astype(cv.dtype)
+    for b in range(B):
+        ck = jax.lax.dynamic_update_slice(
+            ck, kq[:, b][:, None, :, None], (0, b, 0, pos[b], 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, vq[:, b][:, None, :, None], (0, b, 0, pos[b], 0))
+        if cache.quantized:
+            ksc = jax.lax.dynamic_update_slice(
+                ksc, ks_[..., 0][:, b][:, None, :, None], (0, b, 0, pos[b]))
+            vsc = jax.lax.dynamic_update_slice(
+                vsc, vs_[..., 0][:, b][:, None, :, None], (0, b, 0, pos[b]))
+    new_cache = BatchedKVCache(ck, cv, ksc, vsc)
 
     x = rmsnorm(x, params.out_norm, cfg.norm_eps)
     logits = mm(x, params.classifier)                               # (B, V)

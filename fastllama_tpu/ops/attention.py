@@ -69,6 +69,45 @@ def gqa_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     return out.reshape(n_heads, T, hs).astype(q.dtype)
 
 
+def gqa_attention_decode_batched(q: jax.Array, k_cache: jax.Array,
+                                 v_cache: jax.Array, k_new: jax.Array,
+                                 v_new: jax.Array,
+                                 pos: jax.Array) -> jax.Array:
+    """Single-token per-slot attention with DEFERRED cache writes: attend
+    cache rows [0, pos[b]) plus the freshly computed K/V row (not yet in
+    the cache — batching the cache writes outside the layer scan is what
+    keeps them in-place; see models/batched.decode_step).
+
+    q: (B, n_heads, hs); caches (B, n_kv, S, hs); k_new/v_new (B, n_kv, hs);
+    pos (B,).  Returns (B, n_heads, hs) in q.dtype."""
+    B, n_heads, hs = q.shape
+    _, n_kv, S, _ = k_cache.shape
+    hgs = n_heads // n_kv
+
+    qf = q.reshape(B, n_kv, hgs, hs).astype(jnp.float32)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+    scale = 1.0 / jnp.sqrt(jnp.float32(hs))
+
+    scores = jnp.einsum("bkgh,bksh->bkgs", qf, kf,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32) * scale
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    mask = s_idx < pos[:, None]                         # STRICT: row pos is stale
+    scores = jnp.where(mask[:, None, None], scores, NEG_INF)
+    s_new = jnp.einsum("bkgh,bkh->bkg", qf, k_new.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32) * scale
+
+    all_scores = jnp.concatenate([scores, s_new[..., None]], axis=-1)
+    probs = jax.nn.softmax(all_scores, axis=-1)
+    out = jnp.einsum("bkgs,bksh->bkgh", probs[..., :S], vf,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    out = out + probs[..., -1:] * v_new.astype(jnp.float32)[:, :, None]
+    return out.reshape(B, n_heads, hs).astype(q.dtype)
+
+
 def gqa_attention_batched(q: jax.Array, k_cache: jax.Array,
                           v_cache: jax.Array, pos: jax.Array) -> jax.Array:
     """Per-slot masked GQA attention (the continuous-batching decode path).

@@ -220,19 +220,17 @@ def decode_attention_pallas_batched(q: jax.Array, ck: jax.Array,
 
 
 def make_attn_batched(interpret: bool = False):
-    """attn_bidx(q, cache, pos, layer) drop-in for models.batched.decode_step:
-    the fused batched kernel where shapes allow, jnp fallback otherwise
-    (always the fallback for int8 caches — the bounded flash kernel is the
-    quantized fast path, ops/pallas/flash_decode.py)."""
-    from fastllama_tpu.ops.attention import gqa_attention_batched
+    """attn_bidx(q, cache, pos, layer, k_new, v_new) drop-in for
+    models.batched.decode_step (deferred-write convention: cache rows
+    [0, pos) strictly + the fresh row).  This always uses the jnp path —
+    the fused always-stream kernel here predates deferred writes; the fast
+    path is the bounded flash kernel (ops/pallas/flash_decode.py)."""
+    from fastllama_tpu.ops.attention import gqa_attention_decode_batched
 
-    def attn_bidx(q, cache, pos, layer):
-        if not cache.quantized and q.shape[2] == 1 and q.shape[3] % 8 == 0:
-            return decode_attention_pallas_batched(q, cache.k, cache.v, pos,
-                                                   layer, interpret)
+    def attn_bidx(q, cache, pos, layer, k_new, v_new):
         from fastllama_tpu.models.batched import _layer_slices
         ck_l, cv_l = _layer_slices(cache, layer, q.dtype)
-        return gqa_attention_batched(q, ck_l, cv_l, pos)
+        return gqa_attention_decode_batched(q, ck_l, cv_l, k_new, v_new, pos)
 
     return attn_bidx
 

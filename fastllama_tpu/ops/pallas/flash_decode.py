@@ -38,14 +38,21 @@ DEFAULT_BLOCK = 256
 
 def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, *rest,
                   scale: float, block_s: int, nblocks: int, batched: bool,
-                  quantized: bool = False):
+                  quantized: bool = False, fresh: bool = False):
     """Grid (B, n_kv, NB) [batched] or (n_kv, NB) [single].
     scalars = [layer, pos_0..pos_{B-1}].  With ``quantized``, K/V blocks are
-    int8 and two extra per-row fp32 scale refs precede the output ref."""
+    int8 and two per-row fp32 scale refs follow k/v.  With ``fresh``, the
+    current token's K/V rows arrive as separate (B, n_kv, hs) refs — the
+    cache row at ``pos`` is stale (deferred write) and masked STRICTLY."""
+    rest = list(rest)
+    ks_ref = vs_ref = kn_ref = vn_ref = None
     if quantized:
-        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
-    else:
-        o_ref, m_scr, l_scr, acc_scr = rest
+        ks_ref, vs_ref = rest[0], rest[1]
+        rest = rest[2:]
+    if fresh:
+        kn_ref, vn_ref = rest[0], rest[1]
+        rest = rest[2:]
+    o_ref, m_scr, l_scr, acc_scr = rest
     if batched:
         b = pl.program_id(0)
         h = pl.program_id(1)
@@ -55,7 +62,8 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, *rest,
         h = pl.program_id(0)
         j = pl.program_id(1)
     pos = scalars_ref[1 + b]
-    cap = pos // block_s                       # last block holding valid rows
+    # last block holding valid rows; with fresh (strict mask) row pos-1
+    cap = ((pos - 1) if fresh else pos) // block_s
 
     @pl.when(j == 0)
     def _():
@@ -90,7 +98,7 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, *rest,
             s = s * ksv
         col = jax.lax.broadcasted_iota(jnp.int32, (hgs, block_s), 1) \
             + j * block_s
-        s = jnp.where(col <= pos, s, NEG_INF)
+        s = jnp.where(col < pos if fresh else col <= pos, s, NEG_INF)
 
         m = m_scr[:, :1]
         m2 = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -108,14 +116,38 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, *rest,
 
     @pl.when(j == nblocks - 1)
     def _():
-        o_ref[0, 0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+        if fresh:
+            # merge the current token's K/V row (always attended: the
+            # query's own position) into the online softmax; fresh rows
+            # are full precision even over an int8 cache
+            q = q_ref[0, 0].astype(jnp.float32)
+            hgs, hs = q.shape
+            n_kv = kn_ref.shape[1]
+            row = jax.lax.broadcasted_iota(jnp.int32, (n_kv, hs), 0)
+            kn = jnp.sum(jnp.where(row == h, kn_ref[0].astype(jnp.float32),
+                                   0.0), axis=0, keepdims=True)   # (1, hs)
+            vn = jnp.sum(jnp.where(row == h, vn_ref[0].astype(jnp.float32),
+                                   0.0), axis=0, keepdims=True)
+            s_new = jax.lax.dot_general(
+                q, kn, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale       # (hgs, 1)
+            m = m_scr[:, :1]
+            m2 = jnp.maximum(m, s_new)
+            corr = jnp.exp(m - m2)
+            e = jnp.exp(s_new - m2)
+            l2 = l_scr[:, :1] * corr + e
+            acc = acc_scr[:] * corr + e * vn
+            o_ref[0, 0] = (acc / l2).astype(o_ref.dtype)
+        else:
+            o_ref[0, 0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
 
 
 def flash_decode_batched(q: jax.Array, ck: jax.Array, cv: jax.Array,
                          pos: jax.Array, layer, s_bound: int = 0,
                          block_s: int = DEFAULT_BLOCK,
                          interpret: bool = False,
-                         k_scale=None, v_scale=None) -> jax.Array:
+                         k_scale=None, v_scale=None,
+                         k_new=None, v_new=None) -> jax.Array:
     """Per-slot decode attention over the FULL stacked batched cache, reading
     only cache rows [0, s_bound) from HBM.
 
@@ -134,9 +166,10 @@ def flash_decode_batched(q: jax.Array, ck: jax.Array, cv: jax.Array,
                                pos.astype(jnp.int32)])
 
     quantized = k_scale is not None
+    fresh = k_new is not None
     kernel = functools.partial(_flash_kernel, scale=1.0 / float(hs) ** 0.5,
                                block_s=block_s, nblocks=NB, batched=True,
-                               quantized=quantized)
+                               quantized=quantized, fresh=fresh)
     kv_spec = pl.BlockSpec((1, 1, 1, block_s, hs),
                            lambda b, h, j, s: (s[0], b, h, j, 0),
                            memory_space=pltpu.VMEM)
@@ -156,6 +189,13 @@ def flash_decode_batched(q: jax.Array, ck: jax.Array, cv: jax.Array,
                                memory_space=pltpu.VMEM)
         in_specs += [sc_spec, sc_spec]
         operands += [k_scale, v_scale]
+    if fresh:
+        # current token's K/V rows (B, n_kv, hs): blocks span all heads
+        # (second-minor constraint again); kernel row-selects
+        fr_spec = pl.BlockSpec((1, n_kv, hs), lambda b, h, j, s: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+        in_specs += [fr_spec, fr_spec]
+        operands += [k_new, v_new]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_kv, NB),
@@ -214,21 +254,23 @@ def round_bound(s_bound: int, S: int, block_s: int = DEFAULT_BLOCK) -> int:
 
 
 def make_attn_batched_flash(s_bound: int = 0, interpret: bool = False):
-    """attn_bidx(q, cache, pos, layer) for models.batched.decode_step:
-    bounded-window kernel (int8-dequant in VMEM when the cache is
-    quantized); jnp fallback where shapes don't fit."""
-    from fastllama_tpu.ops.attention import gqa_attention_batched
+    """attn_bidx(q, cache, pos, layer, k_new, v_new) for
+    models.batched.decode_step: bounded-window kernel over cache rows
+    [0, pos) plus the (deferred-write) fresh K/V row; int8-dequant in VMEM
+    when the cache is quantized; jnp fallback where shapes don't fit.
+    q: (B, n_heads, hs); k_new/v_new: (B, n_kv, hs)."""
+    from fastllama_tpu.ops.attention import gqa_attention_decode_batched
 
-    def attn_bidx(q, cache, pos, layer):
+    def attn_bidx(q, cache, pos, layer, k_new, v_new):
         bs = _block_size(cache.k.shape[3])
-        if q.shape[2] == 1 and q.shape[3] % 8 == 0 and bs:
-            return flash_decode_batched(q, cache.k, cache.v, pos, layer,
-                                        s_bound, bs, interpret,
-                                        k_scale=cache.k_scale,
-                                        v_scale=cache.v_scale)
+        if q.shape[2] % 8 == 0 and bs:
+            return flash_decode_batched(
+                q[:, :, None], cache.k, cache.v, pos, layer, s_bound, bs,
+                interpret, k_scale=cache.k_scale, v_scale=cache.v_scale,
+                k_new=k_new, v_new=v_new)[:, :, 0]
         from fastllama_tpu.models.batched import _layer_slices
         ck_l, cv_l = _layer_slices(cache, layer, q.dtype)
-        return gqa_attention_batched(q, ck_l, cv_l, pos)
+        return gqa_attention_decode_batched(q, ck_l, cv_l, k_new, v_new, pos)
 
     return attn_bidx
 

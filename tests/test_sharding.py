@@ -164,3 +164,14 @@ def test_engine_on_mesh_matches_single(tmp_path):
     got, _ = mesh_eng.generate("the cat", max_new_tokens=8, temperature=0.0,
                                stop_tokens=())
     assert got == want
+
+
+def test_distributed_single_host_noop():
+    """distributed.initialize is a safe no-op off-pod; global_mesh covers
+    local devices."""
+    from fastllama_tpu.parallel import distributed
+
+    distributed.initialize()
+    assert not distributed.is_multiprocess()
+    mesh = distributed.global_mesh(f"data=1,model={min(4, len(jax.devices()))}")
+    assert mesh.shape["model"] >= 1

@@ -1,23 +1,33 @@
-"""Flash decode attention with a bounded KV window.
+"""Flash decode attention with a bounded KV window and head blocking.
 
 The plain kernels in ops/pallas/attention.py stream the FULL ``max_seq_len``
 K/V buffers every step because Pallas's automatic pipeline fetches every grid
 block regardless of the causal mask.  At batch B that costs
 ``B * L * n_kv * S * hs * 2 * itemsize`` bytes per token — measured 4.3
-GB/step for LLaMA2-7B at B=8, S=1024 on v5e, more than half of all decode
-HBM traffic — even when every slot holds a 50-token sequence.
+GB/step for LLaMA2-7B at B=8, S=1024 on v5e — even when every slot holds a
+50-token sequence.
 
-Design: the **host** already knows a tight upper bound on every slot's
-position for a whole decode chunk (``max(pos) + chunk``), so the engine
-compiles the step with a static ``s_bound`` (bucketed to multiples of the
-block size) and this kernel grids over only ``s_bound // block`` sequence
-blocks with an online-softmax accumulator in VMEM scratch.  The automatic
-pipeline stays fully static — no scalar-dependent index_maps (a variant that
-clamped block indices per-slot via scalar prefetch measured *slower* than
-streaming everything: dynamic mappings defeat Mosaic's double buffering) —
-and blocks past ``s_bound`` are never read.  Per-slot masking ``col <=
-pos[b]`` still applies inside the window; whole blocks past a slot's
-position skip their compute with ``pl.when``.
+Two structural decisions, both measured on chip:
+
+* **Host-bounded window**: the host knows a tight upper bound on every
+  slot's position for a whole decode chunk (``max(pos) + chunk``), so the
+  engine compiles the step with a static ``s_bound`` (bucketed to block
+  multiples) and the kernel grids over only ``s_bound // block`` sequence
+  blocks.  A per-slot scalar-clamped index_map variant measured *slower*
+  than streaming everything (dynamic mappings defeat Mosaic's double
+  buffering); static grids + host bucketing win.
+* **Head blocks**: one grid program per (slot, kv-head) left the kernel
+  grid-overhead bound — xprof showed 547 us/layer at B=24 (8x the largest
+  matmul) across 768 tiny programs.  Each program now covers ``HB`` kv
+  heads (8, or all of them when n_kv < 8 / not 8-divisible), amortizing
+  per-program cost and making the per-head scale / fresh-row blocks legal
+  Mosaic shapes directly (no iota row-selects).
+
+The kernel also supports ``quantized`` (int8 cache rows with per-row fp32
+scales folded into the score/probability lanes) and ``fresh`` (the current
+token's K/V passed separately under the deferred-write scheme: cache rows
+masked STRICTLY below ``pos``, the fresh row merged into the online softmax
+at the last grid step, in full precision even over an int8 cache).
 
 The reference's analogue is its O(pos) per-head score loop
 (``execute_attn``, transformer.cpp:418-454) — it too only touches ``pos+1``
@@ -36,14 +46,19 @@ NEG_INF = -1e30
 DEFAULT_BLOCK = 256
 
 
+def _head_block(n_kv: int) -> int:
+    """kv heads per grid program: 8 when it divides (the Mosaic sublane
+    quantum), else all heads (full-extent blocks are always legal)."""
+    return 8 if n_kv % 8 == 0 else n_kv
+
+
 def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, *rest,
                   scale: float, block_s: int, nblocks: int, batched: bool,
                   quantized: bool = False, fresh: bool = False):
-    """Grid (B, n_kv, NB) [batched] or (n_kv, NB) [single].
-    scalars = [layer, pos_0..pos_{B-1}].  With ``quantized``, K/V blocks are
-    int8 and two per-row fp32 scale refs follow k/v.  With ``fresh``, the
-    current token's K/V rows arrive as separate (B, n_kv, hs) refs — the
-    cache row at ``pos`` is stale (deferred write) and masked STRICTLY."""
+    """Grid (B, n_kv//HB, NB) [batched] or (n_kv//HB, NB) [single].
+    scalars = [layer, pos_0..pos_{B-1}].  Blocks carry HB kv heads:
+    q (1, HB, hgs, hs), k/v (1, 1, HB, block_s, hs), scales (1, 1, HB,
+    block_s), fresh rows (1, HB, hs).  Scratch rows are (HB*hgs, .)."""
     rest = list(rest)
     ks_ref = vs_ref = kn_ref = vn_ref = None
     if quantized:
@@ -55,11 +70,9 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, *rest,
     o_ref, m_scr, l_scr, acc_scr = rest
     if batched:
         b = pl.program_id(0)
-        h = pl.program_id(1)
         j = pl.program_id(2)
     else:
         b = 0
-        h = pl.program_id(0)
         j = pl.program_id(1)
     pos = scalars_ref[1 + b]
     # last block holding valid rows; with fresh (strict mask) row pos-1
@@ -71,32 +84,29 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, *rest,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
+    HB, hgs, hs = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    R = HB * hgs                                       # scratch rows
+
     @pl.when(j <= cap)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)          # (hgs, hs)
-        hgs, hs = q.shape
-        k = k_ref[0, 0, 0].astype(jnp.float32)       # (BS, hs)
-        v = v_ref[0, 0, 0].astype(jnp.float32)
+        q = q_ref[0].astype(jnp.float32)               # (HB, hgs, hs)
+        k = k_ref[0, 0].astype(jnp.float32)            # (HB, BS, hs)
+        v = v_ref[0, 0].astype(jnp.float32)
 
-        if quantized:
-            # scale blocks span ALL kv heads (Mosaic wants the block's
-            # second-minor dim full or 8-divisible); pick this program's
-            # head row with an iota mask — (n_kv, BS) is tiny
-            n_kv = ks_ref.shape[2]
-            row = jax.lax.broadcasted_iota(jnp.int32, (n_kv, block_s), 0)
-            ksv = jnp.sum(jnp.where(row == h, ks_ref[0, 0], 0.0),
-                          axis=0).reshape(1, block_s)
-            vsv = jnp.sum(jnp.where(row == h, vs_ref[0, 0], 0.0),
-                          axis=0).reshape(1, block_s)
-
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale        # (hgs, BS)
+        # per-head scores, stacked to (HB*hgs, BS)
+        s = jnp.concatenate([
+            jax.lax.dot_general(
+                q[i], k[i], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for i in range(HB)], axis=0) * scale
         if quantized:
             # per-row K scales land on the SCORE lanes (column s of scores
-            # = cache row s) — a lane broadcast, no transpose of (BS,) vecs
-            s = s * ksv
-        col = jax.lax.broadcasted_iota(jnp.int32, (hgs, block_s), 1) \
+            # = cache row s); scale row i belongs to head i's score rows
+            ks = ks_ref[0, 0]                          # (HB, BS)
+            if hgs > 1:
+                ks = jnp.repeat(ks, hgs, axis=0)
+            s = s * ks
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, block_s), 1) \
             + j * block_s
         s = jnp.where(col < pos if fresh else col <= pos, s, NEG_INF)
 
@@ -108,38 +118,43 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, *rest,
         l_scr[:, :1] = l_scr[:, :1] * corr + jnp.sum(e, axis=-1,
                                                      keepdims=True)
         if quantized:
-            # fold per-row V scales into the probabilities (same lane axis)
-            e = e * vsv
-        acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
-            e, v, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            vs = vs_ref[0, 0]
+            if hgs > 1:
+                vs = jnp.repeat(vs, hgs, axis=0)
+            e = e * vs                                 # fold V scales in
+        pv = jnp.concatenate([
+            jax.lax.dot_general(
+                e[i * hgs:(i + 1) * hgs], v[i],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for i in range(HB)], axis=0)               # (R, hs)
+        acc_scr[:] = acc_scr[:] * corr + pv
 
     @pl.when(j == nblocks - 1)
     def _():
         if fresh:
-            # merge the current token's K/V row (always attended: the
-            # query's own position) into the online softmax; fresh rows
-            # are full precision even over an int8 cache
-            q = q_ref[0, 0].astype(jnp.float32)
-            hgs, hs = q.shape
-            n_kv = kn_ref.shape[1]
-            row = jax.lax.broadcasted_iota(jnp.int32, (n_kv, hs), 0)
-            kn = jnp.sum(jnp.where(row == h, kn_ref[0].astype(jnp.float32),
-                                   0.0), axis=0, keepdims=True)   # (1, hs)
-            vn = jnp.sum(jnp.where(row == h, vn_ref[0].astype(jnp.float32),
-                                   0.0), axis=0, keepdims=True)
-            s_new = jax.lax.dot_general(
-                q, kn, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale       # (hgs, 1)
+            # merge the current token's K/V rows (always attended: the
+            # query's own position); full precision even over int8 caches
+            q = q_ref[0].astype(jnp.float32)           # (HB, hgs, hs)
+            kn = kn_ref[0].astype(jnp.float32)         # (HB, hs)
+            vn = vn_ref[0].astype(jnp.float32)
+            s_new = jnp.concatenate([
+                jax.lax.dot_general(
+                    q[i], kn[i:i + 1],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                for i in range(HB)], axis=0) * scale   # (R, 1)
             m = m_scr[:, :1]
             m2 = jnp.maximum(m, s_new)
             corr = jnp.exp(m - m2)
             e = jnp.exp(s_new - m2)
             l2 = l_scr[:, :1] * corr + e
-            acc = acc_scr[:] * corr + e * vn
-            o_ref[0, 0] = (acc / l2).astype(o_ref.dtype)
+            vn_rows = vn if hgs == 1 else jnp.repeat(vn, hgs, axis=0)
+            acc = acc_scr[:] * corr + e * vn_rows
+            o_ref[0] = (acc / l2).reshape(HB, hgs, hs).astype(o_ref.dtype)
         else:
-            o_ref[0, 0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+            o_ref[0] = (acc_scr[:] / l_scr[:, :1]).reshape(
+                HB, hgs, hs).astype(o_ref.dtype)
 
 
 def flash_decode_batched(q: jax.Array, ck: jax.Array, cv: jax.Array,
@@ -154,27 +169,29 @@ def flash_decode_batched(q: jax.Array, ck: jax.Array, cv: jax.Array,
     q: (B, n_heads, 1, hs); caches (L, B, n_kv, S, hs); pos (B,) int32;
     layer: traced scalar; ``s_bound``: static upper bound with every
     ``pos[b] < s_bound`` (0 = max_seq_len).  ``k_scale``/``v_scale``
-    (L, B, n_kv, S, 1) mark an int8 cache: rows are dequantized in VMEM
-    right before the score/mix matmuls.  Returns (B, n_heads, 1, hs)."""
+    (L, B, n_kv, S) mark an int8 cache (per-row dequant in VMEM).
+    ``k_new``/``v_new`` (B, n_kv, hs) are the current token's rows under
+    deferred writes (strict causal mask).  Returns (B, n_heads, 1, hs)."""
     B, n_heads, T, hs = q.shape
     L, Bc, n_kv, S, _ = ck.shape
     s_bound = min(s_bound or S, S)
     NB = -(-s_bound // block_s)
+    HB = _head_block(n_kv)
     hgs = n_heads // n_kv
     qh = q.reshape(B, n_kv, hgs, hs)
     scalars = jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
                                pos.astype(jnp.int32)])
-
     quantized = k_scale is not None
     fresh = k_new is not None
+
     kernel = functools.partial(_flash_kernel, scale=1.0 / float(hs) ** 0.5,
                                block_s=block_s, nblocks=NB, batched=True,
                                quantized=quantized, fresh=fresh)
-    kv_spec = pl.BlockSpec((1, 1, 1, block_s, hs),
+    kv_spec = pl.BlockSpec((1, 1, HB, block_s, hs),
                            lambda b, h, j, s: (s[0], b, h, j, 0),
                            memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, 1, hgs, hs), lambda b, h, j, s: (b, h, 0, 0),
+        pl.BlockSpec((1, HB, hgs, hs), lambda b, h, j, s: (b, h, 0, 0),
                      memory_space=pltpu.VMEM),
         kv_spec,
         kv_spec,
@@ -182,30 +199,29 @@ def flash_decode_batched(q: jax.Array, ck: jax.Array, cv: jax.Array,
     operands = [qh, ck, cv]
     if quantized:
         # scales are 4D (L, B, n_kv, S) — no trailing singleton (lane-pads
-        # 128x); blocks span all heads (Mosaic second-minor constraint) and
-        # the kernel row-selects; applied along the score lanes
-        sc_spec = pl.BlockSpec((1, 1, n_kv, block_s),
-                               lambda b, h, j, s: (s[0], b, 0, j),
+        # 128x); HB-head blocks are legal Mosaic shapes, applied along the
+        # score lanes
+        sc_spec = pl.BlockSpec((1, 1, HB, block_s),
+                               lambda b, h, j, s: (s[0], b, h, j),
                                memory_space=pltpu.VMEM)
         in_specs += [sc_spec, sc_spec]
         operands += [k_scale, v_scale]
     if fresh:
-        # current token's K/V rows (B, n_kv, hs): blocks span all heads
-        # (second-minor constraint again); kernel row-selects
-        fr_spec = pl.BlockSpec((1, n_kv, hs), lambda b, h, j, s: (b, 0, 0),
+        fr_spec = pl.BlockSpec((1, HB, hs), lambda b, h, j, s: (b, h, 0),
                                memory_space=pltpu.VMEM)
         in_specs += [fr_spec, fr_spec]
         operands += [k_new, v_new]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, n_kv, NB),
+        grid=(B, n_kv // HB, NB),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, hgs, hs), lambda b, h, j, s: (b, h, 0, 0),
+        out_specs=pl.BlockSpec((1, HB, hgs, hs),
+                               lambda b, h, j, s: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((hgs, 128), jnp.float32),     # running max (col 0)
-            pltpu.VMEM((hgs, 128), jnp.float32),     # running sum (col 0)
-            pltpu.VMEM((hgs, hs), jnp.float32),      # output accumulator
+            pltpu.VMEM((HB * hgs, 128), jnp.float32),  # running max (col 0)
+            pltpu.VMEM((HB * hgs, 128), jnp.float32),  # running sum (col 0)
+            pltpu.VMEM((HB * hgs, hs), jnp.float32),   # output accumulator
         ],
     )
     out = pl.pallas_call(

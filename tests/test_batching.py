@@ -409,3 +409,43 @@ def test_packed_int4_shard_params():
     sp = shard_params(cfg, mesh, params)
     assert sp.wq.packed
     assert sp.wq.data.shape == params.wq.data.shape
+
+
+def test_flash_decode_fresh_interpret():
+    """Deferred-write mode: kernel attends rows [0,pos) strictly + the
+    fresh row; checked against the jnp decode helper, with 8-divisible and
+    odd head counts, plain and int8-quantized caches."""
+    from fastllama_tpu.ops.attention import gqa_attention_decode_batched
+    from fastllama_tpu.ops.pallas.flash_decode import flash_decode_batched
+    from fastllama_tpu.quant.groupquant import dequantize_rows, quantize_rows
+
+    for n_kv, hgs in ((8, 1), (2, 2), (4, 2)):
+        B, L, S, hs = 3, 2, 64, 8
+        n_heads = n_kv * hgs
+        ks = jax.random.split(jax.random.PRNGKey(n_kv * 7 + hgs), 6)
+        q = jax.random.normal(ks[0], (B, n_heads, hs), jnp.float32)
+        ckf = jax.random.normal(ks[1], (L, B, n_kv, S, hs), jnp.float32)
+        cvf = jax.random.normal(ks[2], (L, B, n_kv, S, hs), jnp.float32)
+        k_new = jax.random.normal(ks[3], (B, n_kv, hs), jnp.float32)
+        v_new = jax.random.normal(ks[4], (B, n_kv, hs), jnp.float32)
+        pos = jnp.asarray([0, 5, 63], jnp.int32)
+
+        got = flash_decode_batched(q[:, :, None], ckf, cvf, pos, 1,
+                                   block_s=16, interpret=True,
+                                   k_new=k_new, v_new=v_new)[:, :, 0]
+        want = gqa_attention_decode_batched(q, ckf[1], cvf[1], k_new, v_new,
+                                            pos)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5, err_msg=f"{n_kv}")
+
+        ck, ck_s = quantize_rows(ckf)
+        cv, cv_s = quantize_rows(cvf)
+        got = flash_decode_batched(q[:, :, None], ck, cv, pos, 0,
+                                   block_s=16, interpret=True,
+                                   k_scale=ck_s[..., 0], v_scale=cv_s[..., 0],
+                                   k_new=k_new, v_new=v_new)[:, :, 0]
+        want = gqa_attention_decode_batched(
+            q, dequantize_rows(ck[0], ck_s[0]), dequantize_rows(cv[0], cv_s[0]),
+            k_new, v_new, pos)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5, err_msg=f"q{n_kv}")

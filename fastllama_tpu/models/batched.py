@@ -211,6 +211,68 @@ def prefill_into_slot(cfg: ModelConfig, params: LlamaParams,
     return logits[0].astype(jnp.float32), new_cache
 
 
+def prefill_many(cfg: ModelConfig, params: LlamaParams,
+                 tokens: jax.Array, lengths: jax.Array, slots: jax.Array,
+                 cache: BatchedKVCache, *,
+                 mm: Callable = qmatmul,
+                 mm_idx: Optional[Callable] = None,
+                 compute_dtype=jnp.float32
+                 ) -> Tuple[jax.Array, BatchedKVCache]:
+    """Prefill N prompts into N slots in ONE device call.
+
+    tokens (N, T) at positions [0, T) per slot; lengths/slots (N,) traced.
+    Matmuls see a (N*T, dim) activation (N times the MXU work per weight
+    read — admission cost amortizes); attention is block-diagonal (each
+    prompt attends itself only).  Duplicate slot ids are allowed when the
+    caller pads N to a bucket by repeating a request: later writes simply
+    overwrite identical rows.  Returns (last-token logits (N, vocab), cache).
+    """
+    N, T = tokens.shape
+    hs, n_heads, n_kv = cfg.head_size, cfg.n_heads, cfg.n_kv_heads
+    proj = _make_proj(mm, mm_idx, compute_dtype)
+
+    x = embed_tokens(params.embedding, tokens.reshape(N * T),
+                     compute_dtype)                       # (N*T, dim)
+    cos, sin = rope_tables(cfg, jnp.arange(T, dtype=jnp.int32),
+                           compute_dtype)
+    kv_dtype = cache.k.dtype if not cache.quantized else compute_dtype
+
+    def scan_fn(x, layer):
+        l, attn_norm_l, ffn_norm_l = layer
+
+        h = rmsnorm(x, attn_norm_l, cfg.norm_eps)
+        q, k, v = _split_qkv(cfg, params, proj, h, l)
+        q = q.reshape(N, T, n_heads, hs).transpose(0, 2, 1, 3)
+        k = k.reshape(N, T, n_kv, hs).transpose(0, 2, 1, 3)
+        v = v.reshape(N, T, n_kv, hs).transpose(0, 2, 1, 3)
+        q = apply_rope_half(q, cos[None, None], sin[None, None])
+        k = apply_rope_half(k, cos[None, None], sin[None, None])
+
+        # block-diagonal attention: each prompt over its own fresh K/V
+        o = jax.vmap(lambda qq, kk, vv: gqa_attention(qq, kk, vv, 0))(q, k, v)
+        o = o.transpose(0, 2, 1, 3).reshape(N * T, n_heads * hs)
+        x = x + proj(o, params.wo, l)
+
+        h = rmsnorm(x, ffn_norm_l, cfg.norm_eps)
+        x = x + _ffn(cfg, params, proj, h, l)
+        return x, (k.astype(kv_dtype), v.astype(kv_dtype))
+
+    xs = (jnp.arange(cfg.n_layers, dtype=jnp.int32),
+          params.attn_norm, params.ffn_norm)
+    x, (ks, vs) = jax.lax.scan(scan_fn, x, xs)    # (L, N, n_kv, T, hs)
+
+    new_cache = cache
+    for n in range(N):
+        new_cache = _write_slot(new_cache, ks[:, n], vs[:, n], slots[n])
+
+    # classifier on each prompt's last valid row only
+    x = rmsnorm(x, params.out_norm, cfg.norm_eps).reshape(N, T, -1)
+    rows = jnp.take_along_axis(
+        x, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    logits = mm(rows, params.classifier)                  # (N, V)
+    return logits.astype(jnp.float32), new_cache
+
+
 def decode_step(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array,
                 pos: jax.Array, cache: BatchedKVCache, *,
                 mm: Callable = qmatmul,

@@ -38,12 +38,21 @@ from fastllama_tpu.config import EngineConfig, ModelConfig, QuantType
 from fastllama_tpu.loaders.registry import FileType, load_model
 from fastllama_tpu.loaders.tokenizer import Tokenizer
 from fastllama_tpu.models.batched import (BatchedKVCache, decode_step,
-                                          prefill_into_slot)
+                                          prefill_into_slot, prefill_many)
 from fastllama_tpu.models.llama import LlamaParams
 from fastllama_tpu.ops import sampling
 from fastllama_tpu.ops.qmatmul import qmatmul
 
 DEFAULT_CHUNK = 16
+
+
+def host_prng_key(seed: int) -> np.ndarray:
+    """``jax.random.PRNGKey(seed)``'s bytes built on the HOST: the threefry
+    key under disabled x64 is ``[0, seed & 0xffffffff]`` (uint32).  Calling
+    the real PRNGKey in the admission loop cost one full device round-trip
+    per request (~27 ms through a remote-TPU tunnel; 0.85 s per 32-request
+    admission batch before this)."""
+    return np.array([0, seed & 0xFFFFFFFF], dtype=np.uint32)
 
 
 @dataclasses.dataclass
@@ -173,6 +182,17 @@ class BatchedEngine:
         self._prefill_fns = {}
         self._chunk_fns = {}
 
+        @jax.jit
+        def _fold_keys(keys, slots, seeds, ids):
+            new = jax.vmap(lambda s, i: jax.random.fold_in(
+                jax.random.PRNGKey(s), i + 1))(seeds, ids)
+            return keys.at[slots].set(new)
+
+        # one device call updates every admitted slot's RNG key (a per-slot
+        # .at[].set + fold_in pair costs a full dispatch round-trip each —
+        # 24 admits spent ~1 s in host->device latency before batching)
+        self._fold_keys = _fold_keys
+
     # -- loading -------------------------------------------------------------
 
     @staticmethod
@@ -227,6 +247,24 @@ class BatchedEngine:
 
             self._prefill_fns[bucket] = jax.jit(f, donate_argnums=(4,))
         return self._prefill_fns[bucket]
+
+    def _get_prefill_many(self, bucket: int, n: int):
+        """N prompts of one bucket admitted in ONE device call (the
+        sequential-admission prefill was becoming the serving bottleneck:
+        24 x 43-token admits cost ~1.1 s while their whole decode ran 2 s)."""
+        key_ = ("many", bucket, n)
+        if key_ not in self._prefill_fns:
+            cfg, mm, mi, cdt = self.config, self._mm, self._mm_idx, self._cdt
+
+            def f(params, tokens, lengths, slots, cache, keys, temps, topps):
+                logits, cache = prefill_many(
+                    cfg, params, tokens, lengths, slots, cache,
+                    mm=mm, mm_idx=mi, compute_dtype=cdt)
+                toks = sampling.sample_batched(logits, keys, temps, topps)
+                return toks, cache
+
+            self._prefill_fns[key_] = jax.jit(f, donate_argnums=(4,))
+        return self._prefill_fns[key_]
 
     def _get_chunk(self, n_steps: int, greedy_only: bool, s_bound: int = 0):
         key_ = (n_steps, greedy_only, s_bound)
@@ -298,12 +336,14 @@ class BatchedEngine:
         bucket = self._bucket(len(toks))
         padded = np.zeros(bucket, np.int32)
         padded[:len(toks)] = toks
-        key = jax.random.PRNGKey(req.seed)
+        key = jnp.asarray(host_prng_key(req.seed))
         tok, self.cache = self._get_prefill(bucket)(
             self.params, jnp.asarray(padded), len(toks), slot, self.cache,
             key, jnp.float32(req.temperature), jnp.float32(req.topp))
-        self._keys = self._keys.at[slot].set(
-            jax.random.fold_in(key, req.id + 1))
+        self._keys = self._fold_keys(
+            self._keys, jnp.asarray([slot], jnp.int32),
+            jnp.asarray([req.seed], jnp.uint32),
+            jnp.asarray([req.id], jnp.uint32))
         self.slot_req[slot] = req
         self.pos[slot] = len(toks)
         self.temps[slot] = req.temperature
@@ -344,13 +384,65 @@ class BatchedEngine:
             self.pending[slot] = 0
             self.stats.completed += 1
 
+    def _admit_pending(self) -> None:
+        """Admit queued requests into free slots, one device call per
+        prefill bucket (N padded to a power of two by repeating the last
+        request — duplicate slot writes are identical, so harmless)."""
+        free = self._free_slots()
+        take = min(len(free), len(self.queue))
+        if take == 0:
+            return
+        if take == 1:
+            self._admit(self.queue.pop(0), free[0])
+            return
+        items = [(self.queue.pop(0), slot) for slot in free[:take]]
+        groups = {}
+        for req, slot in items:
+            groups.setdefault(self._bucket(len(req.prompt_tokens)),
+                              []).append((req, slot))
+        for bucket, grp in sorted(groups.items()):
+            t0 = time.perf_counter()
+            N = len(grp)
+            Np = 1 << (N - 1).bit_length()
+            grp_p = grp + [grp[-1]] * (Np - N)
+            toks_np = np.zeros((Np, bucket), np.int32)
+            lens = np.zeros(Np, np.int32)
+            slots_np = np.zeros(Np, np.int32)
+            temps = np.zeros(Np, np.float32)
+            topps = np.ones(Np, np.float32)
+            keys = np.zeros((Np, 2), np.uint32)
+            for i, (req, slot) in enumerate(grp_p):
+                toks_np[i, :len(req.prompt_tokens)] = req.prompt_tokens
+                lens[i] = len(req.prompt_tokens)
+                slots_np[i] = slot
+                temps[i] = req.temperature
+                topps[i] = req.topp
+                keys[i] = host_prng_key(req.seed)
+            fn = self._get_prefill_many(bucket, Np)
+            firsts, self.cache = fn(
+                self.params, jnp.asarray(toks_np), jnp.asarray(lens),
+                jnp.asarray(slots_np), self.cache, jnp.asarray(keys),
+                jnp.asarray(temps), jnp.asarray(topps))
+            firsts = np.asarray(firsts)
+            self._keys = self._fold_keys(
+                self._keys,
+                jnp.asarray([slot for _, slot in grp], jnp.int32),
+                jnp.asarray([req.seed for req, _ in grp], jnp.uint32),
+                jnp.asarray([req.id for req, _ in grp], jnp.uint32))
+            self.stats.prefill_s += time.perf_counter() - t0
+            for i, (req, slot) in enumerate(grp):
+                self.slot_req[slot] = req
+                self.pos[slot] = lens[i]
+                self.temps[slot] = req.temperature
+                self.topps[slot] = req.topp
+                self.pending[slot] = int(firsts[i])
+                self.stats.total_prompt_tokens += int(lens[i])
+                self._emit(slot, int(firsts[i]), from_decode=False)
+
     def step(self) -> bool:
         """Admit queued requests, run one decode chunk.  Returns True while
         any work (live or queued) remains."""
-        for slot in self._free_slots():
-            if not self.queue:
-                break
-            self._admit(self.queue.pop(0), slot)
+        self._admit_pending()
 
         live = self._live_slots()
         if not live:

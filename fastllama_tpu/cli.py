@@ -149,6 +149,10 @@ def chat_loop(eng, args) -> int:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.encode or args.decode:
+        if not args.checkpoint:
+            print("error: -e/-d need -c/--checkpoint (the tokenizer lives "
+                  "in the model file)", file=sys.stderr)
+            return 2
         return encode_decode(args)
     if not args.checkpoint:
         print("error: -c/--checkpoint is required", file=sys.stderr)

@@ -435,14 +435,9 @@ def load_flm(path: str, tokenizer_only: bool = False
     if cfg is None:
         raise ValueError(f"FLM file {path} has no model_config block")
 
+    from fastllama_tpu.loaders.registry import stack_layers
     weights: Dict[str, object] = dict(glob)
-    for field, layers in per_layer.items():
-        vals = [layers[i] for i in range(cfg.n_layers)]
-        if isinstance(vals[0], tuple):
-            weights[field] = (np.stack([v[0] for v in vals]),
-                              np.stack([v[1] for v in vals]))
-        else:
-            weights[field] = np.stack(vals)
+    weights.update(stack_layers(per_layer, cfg.n_layers))
     # norm tensors may arrive (1, dim) per layer — squeeze to (L, dim)
     for name in ("attn_norm", "ffn_norm"):
         if name in weights and not isinstance(weights[name], tuple):

@@ -82,10 +82,11 @@ def load_gguf(path: str, tokenizer_only: bool = False
         magic, version = struct.unpack("<2I", f.read(8))
         if magic != GGUF_MAGIC:
             raise ValueError(f"not a GGUF file: {path}")
-        if version >= 2:
-            n_tensors, n_kv = struct.unpack("<2Q", f.read(16))
-        else:
-            n_tensors, n_kv = struct.unpack("<2I", f.read(8))
+        if version < 2:
+            # v1 strings are u32-length; _read_str parses v2+ u64 — a v1
+            # file would misparse into garbage, so reject it explicitly
+            raise ValueError(f"unsupported GGUF version {version} (< 2)")
+        n_tensors, n_kv = struct.unpack("<2Q", f.read(16))
 
         meta: Dict[str, object] = {}
         for _ in range(n_kv):
@@ -109,6 +110,7 @@ def load_gguf(path: str, tokenizer_only: bool = False
         arch = str(meta.get("general.architecture", "llama"))
         p = arch  # key prefix
         cfg = ModelConfig(
+            quant_type=QuantType.NONE,   # F32/F16 file; Q8_0 replaces below
             dim=int(meta[f"{p}.embedding_length"]),
             hidden_dim=int(meta[f"{p}.feed_forward_length"]),
             n_layers=int(meta[f"{p}.block_count"]),
@@ -178,14 +180,9 @@ def load_gguf(path: str, tokenizer_only: bool = False
         if used_q8:
             cfg = cfg.replace(quant_type=QuantType.INT8, group_size=Q8_0_BLOCK)
 
+    from fastllama_tpu.loaders.registry import stack_layers
     weights: Dict[str, object] = dict(glob)
-    for field, layers in per_layer.items():
-        vals = [layers[i] for i in range(cfg.n_layers)]
-        if isinstance(vals[0], tuple):
-            weights[field] = (np.stack([v[0] for v in vals]),
-                              np.stack([v[1] for v in vals]))
-        else:
-            weights[field] = np.stack(vals)
+    weights.update(stack_layers(per_layer, cfg.n_layers))
     if "classifier" not in weights:
         weights["classifier"] = weights["embedding"]
     return cfg, weights, tok

@@ -18,7 +18,7 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-from fastllama_tpu.config import ModelConfig
+from fastllama_tpu.config import ModelConfig, QuantType
 from fastllama_tpu.loaders.tokenizer import Tokenizer, TokenType, VocabType
 
 _HF_LAYER_MAP = {
@@ -56,6 +56,7 @@ def _config_from_json(d: dict) -> ModelConfig:
             rs.get("original_max_position_embeddings", 0))
     # other rope_type values (e.g. llama3) are left as plain RoPE for now
     return ModelConfig(
+        quant_type=QuantType.NONE,       # fp32/bf16 checkpoint
         dim=int(d["hidden_size"]),
         hidden_dim=int(d["intermediate_size"]),
         n_layers=int(d["num_hidden_layers"]),

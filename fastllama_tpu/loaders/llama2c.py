@@ -18,7 +18,7 @@ from typing import Tuple
 
 import numpy as np
 
-from fastllama_tpu.config import ModelConfig
+from fastllama_tpu.config import ModelConfig, QuantType
 from fastllama_tpu.loaders.tokenizer import Tokenizer
 
 
@@ -44,7 +44,8 @@ def load_llama2c(ckpt_path: str, tokenizer_path: str = "",
         shared = v > 0
         v = abs(v)
         cfg = ModelConfig(dim=d, hidden_dim=h, n_layers=L, n_heads=nh,
-                          n_kv_heads=nkv, vocab_size=v, max_seq_len=s)
+                          n_kv_heads=nkv, vocab_size=v, max_seq_len=s,
+                          quant_type=QuantType.NONE)  # fp32 checkpoint
         cfg.validate()
         hs, kd = cfg.head_size, cfg.kv_dim
 

@@ -97,6 +97,52 @@ def _deinterleave(weights: dict, head_size: int) -> None:
             weights[key] = deinterleave_heads(v, head_size)
 
 
+def resolve_and_build(ckpt_path: str, tokenizer_path: str,
+                      file_type: "FileType", qtype, engine_config,
+                      device_put=None):
+    """Shared Engine/BatchedEngine load path: load the checkpoint, resolve
+    the effective quant type (user request vs pre-quantized file,
+    transformer.cpp:36-38), pad hidden_dim for a mesh, and build device (or
+    host, for sharded load) params.  Returns (config, params, tokenizer)."""
+    m = load_model(ckpt_path, tokenizer_path, file_type)
+    cfg = m.config
+    if qtype is not None and cfg.quant_type == QuantType.NONE:
+        cfg = cfg.replace(quant_type=qtype)
+    elif m.file_type in (FileType.FLM, FileType.GGUF) \
+            and cfg.quant_type != QuantType.NONE:
+        qtype = cfg.quant_type          # pre-quantized file wins
+    if engine_config is not None and engine_config.mesh and device_put is None:
+        # keep weights host-side; the engine device_puts each leaf once
+        # with its TP sharding (each device receives only its shard)
+        from fastllama_tpu.parallel.sharding import pad_hidden_for_sharding
+        mp = 1
+        for part in engine_config.mesh.split(","):
+            k, v = part.split("=")
+            if k.strip() == "model":
+                mp = int(v)
+        cfg = pad_hidden_for_sharding(cfg, m.weights, mp)
+        m.config = cfg
+        device_put = np.asarray
+    params = m.build(qtype, device_put=device_put)
+    # build() may pad hidden_dim further (INT4 packing alignment)
+    cfg = cfg.replace(hidden_dim=m.config.hidden_dim)
+    return cfg, params, m.tokenizer
+
+
+def stack_layers(per_layer: dict, n_layers: int):
+    """Stack a {field: {layer_id: array-or-(data,scales)}} map into (L, ...)
+    arrays (shared by the FLM and GGUF loaders)."""
+    out = {}
+    for field, layers in per_layer.items():
+        first = layers[0]
+        if isinstance(first, tuple):
+            out[field] = (np.stack([layers[i][0] for i in range(n_layers)]),
+                          np.stack([layers[i][1] for i in range(n_layers)]))
+        else:
+            out[field] = np.stack([layers[i] for i in range(n_layers)])
+    return out
+
+
 def load_model(path: str, tokenizer_path: str = "",
                file_type: FileType = FileType.UNKNOWN,
                tokenizer_only: bool = False) -> LoadedModel:

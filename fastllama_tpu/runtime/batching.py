@@ -202,29 +202,11 @@ class BatchedEngine:
              engine_config: Optional[EngineConfig] = None,
              decode_chunk: int = DEFAULT_CHUNK,
              device_put=None) -> "BatchedEngine":
-        m = load_model(ckpt_path, tokenizer_path, file_type)
-        cfg = m.config
-        if qtype is not None and cfg.quant_type == QuantType.NONE:
-            cfg = cfg.replace(quant_type=qtype)
-        elif m.file_type in (FileType.FLM, FileType.GGUF) \
-                and cfg.quant_type != QuantType.NONE:
-            qtype = cfg.quant_type
-        if engine_config is not None and engine_config.mesh \
-                and device_put is None:
-            from fastllama_tpu.parallel.sharding import pad_hidden_for_sharding
-            mp = 1
-            for part in engine_config.mesh.split(","):
-                k, v = part.split("=")
-                if k.strip() == "model":
-                    mp = int(v)
-            cfg = pad_hidden_for_sharding(cfg, m.weights, mp)
-            m.config = cfg
-            device_put = np.asarray
-        params = m.build(qtype, device_put=device_put)
-        # build() may pad hidden_dim (INT4 packing alignment)
-        cfg = cfg.replace(hidden_dim=m.config.hidden_dim)
-        return BatchedEngine(cfg, params, m.tokenizer, engine_config,
-                             decode_chunk)
+        from fastllama_tpu.loaders.registry import resolve_and_build
+        cfg, params, tok = resolve_and_build(
+            ckpt_path, tokenizer_path, file_type, qtype, engine_config,
+            device_put)
+        return BatchedEngine(cfg, params, tok, engine_config, decode_chunk)
 
     # -- compiled steps --------------------------------------------------------
 
@@ -369,7 +351,8 @@ class BatchedEngine:
         if from_decode:
             self.stats.decode_tokens += 1
         cancelled = False
-        if req.callback is not None:
+        # stop tokens are recorded but not streamed (see Engine.generate)
+        if req.callback is not None and tok not in req.stop_tokens:
             text = self.tokenizer.decode_one(tok, req._prev_token)
             cancelled = req.callback(text, tok) is False
         req._prev_token = tok

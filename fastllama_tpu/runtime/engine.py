@@ -125,30 +125,11 @@ class Engine:
              qtype: Optional[QuantType] = None,
              engine_config: Optional[EngineConfig] = None,
              device_put=None) -> "Engine":
-        m = load_model(ckpt_path, tokenizer_path, file_type)
-        cfg = m.config
-        if qtype is not None and cfg.quant_type == QuantType.NONE:
-            cfg = cfg.replace(quant_type=qtype)
-        elif m.file_type in (FileType.FLM, FileType.GGUF) \
-                and cfg.quant_type != QuantType.NONE:
-            qtype = cfg.quant_type  # pre-quantized file wins (transformer.cpp:36-38)
-        if engine_config is not None and engine_config.mesh \
-                and device_put is None:
-            # keep weights host-side; Engine.__init__ device_puts each leaf
-            # once with its TP sharding (each device receives its shard only)
-            from fastllama_tpu.parallel.sharding import pad_hidden_for_sharding
-            mp = 1
-            for part in engine_config.mesh.split(","):
-                k, v = part.split("=")
-                if k.strip() == "model":
-                    mp = int(v)
-            cfg = pad_hidden_for_sharding(cfg, m.weights, mp)
-            m.config = cfg
-            device_put = np.asarray
-        params = m.build(qtype, device_put=device_put)
-        # build() may pad hidden_dim (INT4 packing alignment)
-        cfg = cfg.replace(hidden_dim=m.config.hidden_dim)
-        return Engine(cfg, params, m.tokenizer, engine_config)
+        from fastllama_tpu.loaders.registry import resolve_and_build
+        cfg, params, tok = resolve_and_build(
+            ckpt_path, tokenizer_path, file_type, qtype, engine_config,
+            device_put)
+        return Engine(cfg, params, tok, engine_config)
 
     # -- compiled steps ----------------------------------------------------
 
@@ -258,6 +239,7 @@ class Engine:
         (prompt excluded) and timing stats.  ``callback(text, token)`` is
         invoked per decoded token; returning False stops generation."""
         cfg = self.config
+        decode_chunk = max(1, decode_chunk)
         tokens = self.encode(prompt) if isinstance(prompt, str) else list(prompt)
         if not tokens:
             raise ValueError("empty prompt")
@@ -288,7 +270,10 @@ class Engine:
             nonlocal prev_token
             out.append(tok)
             ok = True
-            if callback is not None:
+            # stop tokens are recorded in the returned ids but never shown:
+            # streaming '</s>' to the user is noise (the reference's cb also
+            # fires only for continuing tokens, transformer.cpp:93-101)
+            if callback is not None and tok not in stop_set:
                 text = self.tokenizer.decode_one(tok, prev_token)
                 ok = callback(text, tok) is not False
             prev_token = tok
@@ -368,9 +353,13 @@ class ChatSession:
         eng = self.engine
         if not tokens:
             return
-        if len(tokens) >= self.remaining():
-            raise ValueError("context window exhausted")
         bucket = eng._bucket(len(tokens))
+        # the PADDED bucket must fit: the prefill writes `bucket` K/V rows
+        # at self.pos, and dynamic_update_slice CLAMPS an out-of-range start
+        # — an unchecked overflow would silently overwrite valid history
+        if len(tokens) >= self.remaining() or self.pos + bucket > \
+                eng.config.max_seq_len:
+            raise ValueError("context window exhausted")
         padded = np.zeros(bucket, np.int32)
         padded[:len(tokens)] = tokens
         self._last_logits, self.cache = eng._get_prefill(

@@ -1,5 +1,7 @@
 """Engine-level tests: generate loop, chunked decode consistency, stop
 tokens, host-sampling parity RNG, CLI."""
+import math
+
 import numpy as np
 import pytest
 
@@ -159,3 +161,22 @@ def test_cli_serve_mode(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert out.count("ttft=") == 3
+
+
+def test_eval_ppl_tool(tmp_path):
+    """Perplexity gate: int8 ppl must track fp32 closely on the tiny model
+    (SURVEY §7 step 8), and the quantized run must not be degenerate."""
+    from fastllama_tpu.config import EngineConfig
+    from fastllama_tpu.tools.eval_ppl import evaluate
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path))
+    ids = list(range(2, 120))
+    e8 = Engine.load(ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+                     EngineConfig(max_seq_len=64, compute_dtype="float32"))
+    ef = Engine.load(ckpt, tokp, FileType.LLAMA2C, QuantType.NONE,
+                     EngineConfig(max_seq_len=64, compute_dtype="float32"))
+    p8 = evaluate(e8, ids, window=32)
+    pf = evaluate(ef, ids, window=32)
+    assert 1.0 < pf < 1e7 and 1.0 < p8 < 1e7
+    assert abs(math.log(p8) - math.log(pf)) < 0.5 * abs(math.log(pf)) + 0.5

@@ -102,7 +102,10 @@ void* flt_tokenizer_new(const char* texts, const int64_t* offsets,
     for (int64_t i = 0; i < n; ++i)
         tk->map.insert(tk->texts[i].data(), (uint32_t)tk->texts[i].size(),
                        (int32_t)i);
-    tk->underline_id = tk->map.find(conn_tag, strlen(conn_tag));
+    // empty conn tag = no space->underline mapping (the reference's
+    // llama2.c-bin path leaves _conn_tag unset)
+    tk->underline_id = strlen(conn_tag)
+        ? tk->map.find(conn_tag, strlen(conn_tag)) : -1;
     delete[] (char*)nullptr;  // keep -Wall quiet about unused paths
     return tk;
 }

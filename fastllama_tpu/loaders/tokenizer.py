@@ -102,6 +102,11 @@ class Tokenizer:
                 tk.scores.append(score)
         # llama2.c stores pieces with raw leading spaces, not ▁: show = index
         tk.show_texts = list(tk.index_texts)
+        # the reference's .bin path never sets _conn_tag (an empty
+        # string_view, tokenizer.h:147) so no " " -> ▁ mapping exists there
+        # (set_vocab's "▁" default applies to FLM/GGUF only,
+        # tokenizer.cpp:74-75) — verified against the compiled reference
+        tk.conn_tag = ""
         return tk.finalize()
 
     # -- encode -------------------------------------------------------------

@@ -69,3 +69,20 @@ def test_greedy_int8_matches_reference_binary(ckpt):
     toks, _ = eng.generate("the cat", max_new_tokens=13, temperature=0.0,
                            stop_tokens=(), host_sampling=True)
     assert toks == REF_GREEDY_INT8
+
+
+def test_flm_roundtrip_reproduces_reference_tokens(ckpt, tmp_path):
+    """Our FLM writer produces a file that the reference binary loads and
+    decodes to the SAME 13 greedy tokens (validated against the compiled
+    binary 2026-08-16; here we assert our own engine agrees after the
+    FLM round-trip — int8 quantization happens at write time)."""
+    from fastllama_tpu.loaders import flm
+
+    m = load_model(ckpt[0], ckpt[1], FileType.LLAMA2C)
+    p = str(tmp_path / "model.flm")
+    flm.write_flm(p, m.config, m.tokenizer, m.weights, QuantType.INT8)
+    eng = Engine.load(p, engine_config=EngineConfig(
+        max_seq_len=64, parity_mode=True, compute_dtype="float32"))
+    toks, _ = eng.generate("the cat", max_new_tokens=13, temperature=0.0,
+                           stop_tokens=(), host_sampling=True)
+    assert toks == REF_GREEDY_INT8

@@ -119,9 +119,23 @@ def main() -> int:
     print(f"greedy ref={ref_toks}\ngreedy our={our_toks}")
     ok_gen = ref_toks[:len(our_toks)] == our_toks
 
-    print(f"tokenizer parity: {'PASS' if ok_tok else 'FAIL'}")
-    print(f"greedy parity:    {'PASS' if ok_gen else 'FAIL'}")
-    return 0 if (ok_tok and ok_gen) else 1
+    # 3. FLM interchange: the reference binary reads OUR converter's file
+    from fastllama_tpu.loaders import flm
+    m2 = load_model(ck, tk, FileType.LLAMA2C)
+    fp = os.path.join(args.workdir, "model.flm")
+    flm.write_flm(fp, m2.config, m2.tokenizer, m2.weights, QuantType.INT8)
+    r = subprocess.run([binary, "-c", fp, "-i", args.prompt,
+                        "-n", str(args.n), "-t", "0"],
+                       capture_output=True, text=True)
+    ref_flm = [int(x.split()[1]) for x in r.stderr.splitlines()
+               if x.startswith("XVAL")]
+    print(f"greedy ref(FLM)={ref_flm}")
+    ok_flm = ref_flm[:len(our_toks)] == our_toks
+
+    print(f"tokenizer parity:      {'PASS' if ok_tok else 'FAIL'}")
+    print(f"greedy parity:         {'PASS' if ok_gen else 'FAIL'}")
+    print(f"FLM interchange parity: {'PASS' if ok_flm else 'FAIL'}")
+    return 0 if (ok_tok and ok_gen and ok_flm) else 1
 
 
 if __name__ == "__main__":

@@ -50,7 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode-chunk", type=int, default=32,
                    help="tokens generated per device dispatch")
     p.add_argument("--kv-dtype", default="float32",
-                   choices=["float32", "bfloat16"])
+                   choices=["float32", "bfloat16", "int8"],
+                   help="int8 = per-row-quantized cache (serve mode only)")
     p.add_argument("--parity", action="store_true",
                    help="bit-faithful reference math (slow)")
     p.add_argument("--no-pallas", action="store_true",

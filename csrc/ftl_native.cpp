@@ -80,7 +80,8 @@ struct Tokenizer {
     int32_t underline_id = -1;
 
     int32_t lookup(const char* s, size_t n) const {
-        if (n == 1 && s[0] == ' ' && underline_id >= 0) return underline_id;
+        // reference tokenizer.cpp:236-239: unconditional, even when -1
+        if (n == 1 && s[0] == ' ') return underline_id;
         return map.find(s, n);
     }
 };

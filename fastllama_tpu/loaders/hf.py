@@ -49,9 +49,16 @@ def _config_from_json(d: dict) -> ModelConfig:
     if rtype in ("linear",):
         rope["rope_freq_scale"] = 1.0 / float(rs.get("factor", 1.0))
     elif rtype in ("yarn",):
-        rope["rope_freq_scale"] = 1.0 / float(rs.get("factor", 1.0))
+        factor = float(rs.get("factor", 1.0))
+        rope["rope_freq_scale"] = 1.0 / factor
         rope["rope_ext_factor"] = 1.0
-        rope["rope_attn_factor"] = float(rs.get("attention_factor", 1.0))
+        if "attention_factor" in rs and rs["attention_factor"] is not None:
+            # HF semantics: an explicit attention_factor REPLACES the
+            # 1 + 0.1*ln(factor) formula; our kernel always multiplies the
+            # formula in (reference rope_v2 semantics), so compensate here
+            import math
+            rope["rope_attn_factor"] = (float(rs["attention_factor"])
+                                        / (1.0 + 0.1 * math.log(factor)))
         rope["rope_orig_ctx"] = int(
             rs.get("original_max_position_embeddings", 0))
     # other rope_type values (e.g. llama3) are left as plain RoPE for now

@@ -112,8 +112,10 @@ class Tokenizer:
     # -- encode -------------------------------------------------------------
 
     def _search_text(self, text: str) -> int:
-        # tokenizer.cpp:236-245: a lone space resolves to the ▁ token
-        if text == " " and self._underline_id >= 0:
+        # tokenizer.cpp:236-239: a lone space resolves to the ▁ token —
+        # UNCONDITIONALLY, so with no conn tag (.bin vocabs) a lone space
+        # byte-fallbacks even if a literal " " piece exists
+        if text == " ":
             return self._underline_id
         return self._text2id.get(text, -1)
 
@@ -142,7 +144,12 @@ class Tokenizer:
             while i + n < len(raw) and (raw[i + n] & 0xC0) == 0x80 and n < 4:
                 n += 1
             chunk = raw[i:i + n]
-            tid = self._search_text(chunk.decode("utf-8", errors="replace"))
+            try:
+                # strict: an invalid byte must byte-fallback, not collapse
+                # to U+FFFD and collide with a replacement-char piece
+                tid = self._search_text(chunk.decode("utf-8"))
+            except UnicodeDecodeError:
+                tid = -1
             if tid >= 0:
                 tokens.append(tid)
             else:
@@ -179,26 +186,72 @@ class Tokenizer:
             return piece.isprintable() or piece.isspace()
         return True
 
+    def byte_value(self, token: int) -> Optional[int]:
+        """The raw byte of a ``<0xXX>`` byte-fallback token, else None."""
+        if token < 0 or token >= self.vocab_size:
+            return None
+        piece = self.show_texts[token]
+        if len(piece) == 6 and piece.startswith("<0x") and piece.endswith(">"):
+            try:
+                return int(piece[3:5], 16)
+            except ValueError:
+                return None
+        return None
+
     def decode_one(self, token: int, prev_token: int = -1) -> str:
+        """Stateless per-token piece.  Byte-fallback tokens come back as a
+        single chr(); a LONE high byte of a multi-byte UTF-8 sequence cannot
+        be rendered statelessly — use :class:`StreamDecoder` for streaming
+        (the reference writes raw bytes and lets the terminal assemble
+        them, tokenizer.cpp:337-341)."""
         if token < 0 or token >= self.vocab_size:
             return ""
         piece = self.show_texts[token]
         if prev_token == self.bos_token_id and piece.startswith(" "):
             piece = piece[1:]
-        if len(piece) == 6 and piece.startswith("<0x") and piece.endswith(">"):
-            try:
-                piece = chr(int(piece[3:5], 16))
-            except ValueError:
-                pass
+        b = self.byte_value(token)
+        if b is not None:
+            piece = chr(b)
         return piece if self._is_safe_piece(piece) else ""
 
     def decode(self, tokens: Sequence[int]) -> str:
-        out = []
+        """Byte-level assembly: byte-fallback tokens contribute raw bytes so
+        multi-byte UTF-8 reassembles correctly (the reference's per-piece
+        C-locale isprint filter drops such bytes — a known lossy corner we
+        deliberately improve on)."""
+        out = bytearray()
         prev = -1
         for t in tokens:
-            out.append(self.decode_one(t, prev))
+            b = self.byte_value(t)
+            if b is not None:
+                out += bytes([b])
+            else:
+                out += self.decode_one(t, prev).encode("utf-8")
             prev = t
-        return "".join(out)
+        return out.decode("utf-8", errors="replace")
+
+
+class StreamDecoder:
+    """Incremental detokenizer for streaming callbacks: byte-fallback tokens
+    feed a UTF-8 incremental decoder so multi-byte sequences flush as proper
+    text (a stateless per-token decode can only mojibake or drop the high
+    bytes).  One instance per generation."""
+
+    def __init__(self, tokenizer: "Tokenizer"):
+        import codecs
+        self.tk = tokenizer
+        self._dec = codecs.getincrementaldecoder("utf-8")("replace")
+
+    def piece(self, token: int, prev_token: int = -1) -> str:
+        b = self.tk.byte_value(token)
+        if b is not None:
+            return self._dec.decode(bytes([b]), False)
+        return self._dec.decode(b"", True) + self.tk.decode_one(token,
+                                                                prev_token)
+
+    def flush(self) -> str:
+        """Drain any incomplete trailing sequence (end of generation)."""
+        return self._dec.decode(b"", True)
 
 
 def build_byte_fallback_vocab(extra: Optional[List[str]] = None) -> Tokenizer:

@@ -64,12 +64,11 @@ class LlamaParams:
 class KVCache:
     """Preallocated cache, (L, n_kv_heads, max_seq, head_size).
 
-    ``dtype='int8'`` stores rows int8-quantized with per-row fp32 scales
-    (``k_scale``/``v_scale``, shape (L, n_kv, max_seq) — no trailing
-    singleton, which would lane-pad 128x on TPU).  Today the int8 cache is
-    consumed by the batched engine only (runtime/batching.py); the
-    single-stream Engine keeps fp/bf16 KV.  The reference keeps fp32 KV
-    (transformer.cpp:368)."""
+    The int8-quantized cache lives on :class:`~fastllama_tpu.models.
+    batched.BatchedKVCache` (scales fields exist here only for pytree-shape
+    compatibility); the single-stream paths keep fp/bf16 KV like the
+    reference's fp32 (transformer.cpp:368), so create() rejects int8 —
+    forward() would silently truncate K/V rows with no scales."""
 
     k: jax.Array
     v: jax.Array
@@ -86,11 +85,8 @@ class KVCache:
         S = max_seq_len or cfg.max_seq_len
         shape = (cfg.n_layers, cfg.n_kv_heads, S, cfg.head_size)
         if jnp.dtype(dtype) == jnp.int8:
-            sshape = shape[:-1]
-            return KVCache(jnp.zeros(shape, jnp.int8),
-                           jnp.zeros(shape, jnp.int8),
-                           jnp.ones(sshape, jnp.float32),
-                           jnp.ones(sshape, jnp.float32))
+            raise ValueError("int8 KV is a BatchedKVCache feature "
+                             "(models/batched.py)")
         return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -115,6 +111,14 @@ def fuse_params(cfg: ModelConfig, params: LlamaParams) -> LlamaParams:
     straddle the q/k/v section boundaries)."""
     def cat(ws):
         if isinstance(ws[0], QArray):
+            statics = {(w.qtype, w.group_size, w.group_axis, w.packed)
+                       for w in ws}
+            if len(statics) != 1:
+                # e.g. INT4 where wq packs but kv_dim can't: refuse loudly
+                # rather than concatenating incompatible layouts
+                raise ValueError(
+                    f"fuse_weights: projections have mixed quant layouts "
+                    f"{statics}; load without fuse_weights")
             return QArray(jnp.concatenate([w.data for w in ws], axis=-1),
                           jnp.concatenate([w.scales for w in ws], axis=-1),
                           ws[0].qtype, ws[0].group_size, ws[0].group_axis,

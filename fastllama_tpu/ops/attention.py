@@ -35,7 +35,7 @@ def update_kv_cache(k_cache: jax.Array, v_cache: jax.Array,
 
 
 def gqa_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
-                  pos, *, causal_offset: bool = True) -> jax.Array:
+                  pos) -> jax.Array:
     """Masked GQA attention against the full cache.
 
     q:        (n_heads, T, hs) — already RoPE'd, T query tokens at absolute

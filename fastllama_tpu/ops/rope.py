@@ -36,7 +36,8 @@ def rope_cos_sin(positions: jax.Array, head_size: int, theta: float = 10000.0,
 def rope_tables(cfg, positions: jax.Array, dtype=jnp.float32):
     """cos/sin tables for a ModelConfig: plain RoPE unless the config's
     YaRN knobs are set (rope_ext_factor / rope_freq_scale)."""
-    if cfg.rope_ext_factor != 0.0 or cfg.rope_freq_scale != 1.0:
+    if cfg.rope_ext_factor != 0.0 or cfg.rope_freq_scale != 1.0 \
+            or cfg.rope_attn_factor != 1.0:
         return rope_cos_sin_yarn(
             positions, cfg.head_size, cfg.rope_theta, cfg.rope_freq_scale,
             cfg.rope_ext_factor, cfg.rope_attn_factor, cfg.rope_beta_fast,

@@ -65,7 +65,10 @@ def sample_dynamic(logits: jax.Array, key: jax.Array, temperature: jax.Array,
     keep_mass = cum - sorted_probs < tp
     cutoff = jnp.min(jnp.where(keep_mass, sorted_probs, 1.0), axis=-1,
                      keepdims=True)
-    masked = jnp.where(probs >= cutoff, scaled, -jnp.inf)
+    # top_p >= 1 must be a pure categorical (fp32 cumsum rounding could
+    # otherwise mask the probability tail that sample() can still reach)
+    masked = jnp.where(jnp.logical_or(top_p >= 1.0, probs >= cutoff),
+                       scaled, -jnp.inf)
     s = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
     return jnp.where(temperature <= 0.0, g, s)
 

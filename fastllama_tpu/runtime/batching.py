@@ -75,6 +75,7 @@ class Request:
     first_token_s: float = 0.0     # TTFT (submit -> first emitted token)
     finish_s: float = 0.0
     _prev_token: int = -1
+    _stream: object = None      # lazy StreamDecoder (byte-fallback UTF-8)
 
     @property
     def ttft(self) -> float:
@@ -353,7 +354,10 @@ class BatchedEngine:
         cancelled = False
         # stop tokens are recorded but not streamed (see Engine.generate)
         if req.callback is not None and tok not in req.stop_tokens:
-            text = self.tokenizer.decode_one(tok, req._prev_token)
+            if req._stream is None:
+                from fastllama_tpu.loaders.tokenizer import StreamDecoder
+                req._stream = StreamDecoder(self.tokenizer)
+            text = req._stream.piece(tok, req._prev_token)
             cancelled = req.callback(text, tok) is False
         req._prev_token = tok
         if cancelled or tok in req.stop_tokens \

@@ -265,6 +265,8 @@ class Engine:
 
         out: List[int] = []
         host = HostSampler(cfg.vocab_size, seed) if host_sampling else None
+        from fastllama_tpu.loaders.tokenizer import StreamDecoder
+        stream = StreamDecoder(self.tokenizer) if callback is not None else None
 
         def emit(tok: int) -> bool:
             nonlocal prev_token
@@ -274,7 +276,7 @@ class Engine:
             # streaming '</s>' to the user is noise (the reference's cb also
             # fires only for continuing tokens, transformer.cpp:93-101)
             if callback is not None and tok not in stop_set:
-                text = self.tokenizer.decode_one(tok, prev_token)
+                text = stream.piece(tok, prev_token)
                 ok = callback(text, tok) is not False
             prev_token = tok
             return ok
@@ -389,10 +391,12 @@ class ChatSession:
         out: List[int] = []
         prev = toks[-1] if toks else -1
 
+        from fastllama_tpu.loaders.tokenizer import StreamDecoder
+        stream = StreamDecoder(eng.tokenizer) if callback is not None else None
         while pending not in stop and len(out) < max_new_tokens:
             out.append(pending)
             if callback is not None:
-                callback(eng.tokenizer.decode_one(pending, prev))
+                callback(stream.piece(pending, prev))
             prev = pending
 
             n = min(DEFAULT_DECODE_CHUNK, max_new_tokens - len(out) + 1,
@@ -415,7 +419,7 @@ class ChatSession:
                     break
                 out.append(int(t))
                 if callback is not None:
-                    callback(eng.tokenizer.decode_one(int(t), prev))
+                    callback(stream.piece(int(t), prev))
                 prev = int(t)
                 accepted += 1
             self.pos += accepted

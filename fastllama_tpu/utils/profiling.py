@@ -31,7 +31,7 @@ from typing import Dict, List
 
 
 @contextlib.contextmanager
-def trace(log_dir: str, host_tracer_level: int = 2):
+def trace(log_dir: str):
     """jax.profiler device+host trace into ``log_dir`` (open with XProf /
     TensorBoard profile plugin / Perfetto).  No-op if the profiler is
     unavailable on the backend (e.g. some emulated CPU runs)."""

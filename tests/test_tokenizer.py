@@ -86,3 +86,45 @@ def test_encode_decode_roundtrip_ascii():
     toks = tk.encode(text, add_bos=True)
     decoded = tk.decode(toks[1:])  # skip BOS like the generate loop does
     assert decoded.lstrip() == text
+
+
+def test_stream_decoder_multibyte_utf8():
+    """Byte-fallback multi-byte UTF-8 must reassemble in streaming
+    callbacks (stateless decode_one can only mojibake or drop high bytes)."""
+    from fastllama_tpu.loaders.tokenizer import StreamDecoder, \
+        build_byte_fallback_vocab
+
+    tk = build_byte_fallback_vocab(extra=["hi"])
+    sd = StreamDecoder(tk)
+    text = "héllo 🌍"
+    toks = [b + 3 for b in text.encode("utf-8")]
+    out = "".join(sd.piece(t) for t in toks) + sd.flush()
+    assert out == text
+    # interleave a normal piece: buffered bytes flush first
+    sd = StreamDecoder(tk)
+    hi_id = tk.index_texts.index("hi")
+    toks = [b + 3 for b in "é".encode("utf-8")[:1]]   # dangling high byte
+    out = sd.piece(toks[0]) + sd.piece(hi_id)
+    assert out.endswith("hi")
+
+
+def test_decode_assembles_utf8_bytes():
+    from fastllama_tpu.loaders.tokenizer import build_byte_fallback_vocab
+
+    tk = build_byte_fallback_vocab()
+    text = "día 🌍"
+    toks = [b + 3 for b in text.encode("utf-8")]
+    assert tk.decode(toks) == text
+
+
+def test_encode_invalid_bytes_fallback():
+    """Invalid UTF-8 input bytes must byte-fallback, not collapse to a
+    replacement-char piece (reference matches raw bytes)."""
+    from fastllama_tpu.loaders.tokenizer import build_byte_fallback_vocab
+
+    tk = build_byte_fallback_vocab()
+    tk._native = None
+    raw = b"a\xffb"
+    toks = tk.encode(raw.decode("latin-1"), add_bos=False)
+    # 'ÿ' (U+00FF) encodes to 2 utf-8 bytes -> two byte tokens
+    assert toks == [ord("a") + 3, 0xC3 + 3, 0xBF + 3, ord("b") + 3]

@@ -387,7 +387,16 @@ class BatchedEngine:
         for req, slot in items:
             groups.setdefault(self._bucket(len(req.prompt_tokens)),
                               []).append((req, slot))
+        # prefill_many stacks every layer's fresh K/V as scan outputs
+        # ((L, N, n_kv, T, hs)); cap N*T so that stack stays ~1-2 GB for 7B
+        # (N=32 x T=512 measured 8.6 GB -> HBM OOM)
+        _ROWS_CAP = 2048
+        waves = []
         for bucket, grp in sorted(groups.items()):
+            per = max(1, _ROWS_CAP // bucket)
+            for i in range(0, len(grp), per):
+                waves.append((bucket, grp[i:i + per]))
+        for bucket, grp in waves:
             t0 = time.perf_counter()
             N = len(grp)
             Np = 1 << (N - 1).bit_length()

@@ -47,3 +47,28 @@ def test_native_speedup_sanity():
     assert nat == py
     # not a strict perf gate, just a sanity print
     print(f"python {t_py*1e3:.1f}ms vs native {t_nat*1e3:.1f}ms")
+
+
+def test_native_python_encode_fuzz():
+    """The native C encoder and the pure-Python reference must agree
+    token-for-token on randomized inputs (ASCII, unicode, byte-fallback,
+    long merges)."""
+    import random
+
+    from fastllama_tpu.tools.synthetic import tiny_tokenizer
+
+    tk = tiny_tokenizer(512)
+    if tk._native is None:
+        import pytest
+        pytest.skip("native encoder unavailable")
+    rng = random.Random(0)
+    corpus = ["the", "cat", "sat", "on", "a", "mat", " ", "é", "日", "🌍",
+              "\n", "\t", "x" * 50, "<0x41>", "▁the", "''", "\\"]
+    for trial in range(200):
+        parts = rng.choices(corpus, k=rng.randint(1, 12))
+        text = "".join(parts)
+        native = tk.encode(text, add_bos=bool(trial % 2))
+        saved, tk._native = tk._native, None
+        py = tk.encode(text, add_bos=bool(trial % 2))
+        tk._native = saved
+        assert native == py, (text, native, py)

@@ -53,9 +53,10 @@ def _head_block(n_kv: int) -> int:
 
 
 def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, *rest,
-                  scale: float, block_s: int, nblocks: int, batched: bool,
+                  scale: float, block_s: int, nblocks: int,
                   quantized: bool = False, fresh: bool = False):
-    """Grid (B, n_kv//HB, NB) [batched] or (n_kv//HB, NB) [single].
+    """Grid (B, n_kv//HB, NB); single-stream callers wrap into a B=1
+    batched cache (flash_decode_single).
     scalars = [layer, pos_0..pos_{B-1}].  Blocks carry HB kv heads:
     q (1, HB, hgs, hs), k/v (1, 1, HB, block_s, hs), scales (1, 1, HB,
     block_s), fresh rows (1, HB, hs).  Scratch rows are (HB*hgs, .)."""
@@ -68,12 +69,8 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, *rest,
         kn_ref, vn_ref = rest[0], rest[1]
         rest = rest[2:]
     o_ref, m_scr, l_scr, acc_scr = rest
-    if batched:
-        b = pl.program_id(0)
-        j = pl.program_id(2)
-    else:
-        b = 0
-        j = pl.program_id(1)
+    b = pl.program_id(0)
+    j = pl.program_id(2)
     pos = scalars_ref[1 + b]
     # last block holding valid rows; with fresh (strict mask) row pos-1
     cap = ((pos - 1) if fresh else pos) // block_s
@@ -185,7 +182,7 @@ def flash_decode_batched(q: jax.Array, ck: jax.Array, cv: jax.Array,
     fresh = k_new is not None
 
     kernel = functools.partial(_flash_kernel, scale=1.0 / float(hs) ** 0.5,
-                               block_s=block_s, nblocks=NB, batched=True,
+                               block_s=block_s, nblocks=NB,
                                quantized=quantized, fresh=fresh)
     kv_spec = pl.BlockSpec((1, 1, HB, block_s, hs),
                            lambda b, h, j, s: (s[0], b, h, j, 0),
@@ -255,7 +252,7 @@ def flash_decode_single(q: jax.Array, ck: jax.Array, cv: jax.Array,
 def _block_size(S: int) -> int:
     if S % DEFAULT_BLOCK == 0:
         return DEFAULT_BLOCK
-    for bs in (512, 128, 64, 32, 16, 8):
+    for bs in (128, 64, 32, 16, 8):
         if S % bs == 0:
             return bs
     return 0

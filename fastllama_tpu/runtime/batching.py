@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from collections import deque
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -38,7 +39,7 @@ from fastllama_tpu.config import EngineConfig, ModelConfig, QuantType
 from fastllama_tpu.loaders.registry import FileType, load_model
 from fastllama_tpu.loaders.tokenizer import Tokenizer
 from fastllama_tpu.models.batched import (BatchedKVCache, decode_step,
-                                          prefill_into_slot, prefill_many)
+                                          prefill_many)
 from fastllama_tpu.models.llama import LlamaParams
 from fastllama_tpu.ops import sampling
 from fastllama_tpu.ops.qmatmul import qmatmul
@@ -177,7 +178,7 @@ class BatchedEngine:
         self.temps = np.zeros(self.B, np.float32)
         self.topps = np.ones(self.B, np.float32)
 
-        self.queue: List[Request] = []
+        self.queue = deque()
         self.stats = BatchStats()
         self._next_id = 0
         self._prefill_fns = {}
@@ -217,20 +218,6 @@ class BatchedEngine:
                 return b
         return self.S
 
-    def _get_prefill(self, bucket: int):
-        if bucket not in self._prefill_fns:
-            cfg, mm, mi, cdt = self.config, self._mm, self._mm_idx, self._cdt
-
-            def f(params, tokens, length, slot, cache, key, temp, topp):
-                logits, cache = prefill_into_slot(
-                    cfg, params, tokens, length, slot, cache,
-                    mm=mm, mm_idx=mi, compute_dtype=cdt)
-                tok = sampling.sample_dynamic(logits, key, temp, topp)
-                return tok, cache
-
-            self._prefill_fns[bucket] = jax.jit(f, donate_argnums=(4,))
-        return self._prefill_fns[bucket]
-
     def _get_prefill_many(self, bucket: int, n: int):
         """N prompts of one bucket admitted in ONE device call (the
         sequential-admission prefill was becoming the serving bottleneck:
@@ -246,7 +233,8 @@ class BatchedEngine:
                 toks = sampling.sample_batched(logits, keys, temps, topps)
                 return toks, cache
 
-            self._prefill_fns[key_] = jax.jit(f, donate_argnums=(4,))
+            self._prefill_fns[key_] = jax.jit(
+                f, donate_argnums=(4,) if self.ec.donate_cache else ())
         return self._prefill_fns[key_]
 
     def _get_chunk(self, n_steps: int, greedy_only: bool, s_bound: int = 0):
@@ -278,7 +266,8 @@ class BatchedEngine:
                     body, (tokens, pos, cache, keys), length=n_steps)
                 return toks, cache, keys
 
-            self._chunk_fns[key_] = jax.jit(chunk, donate_argnums=(1,))
+            self._chunk_fns[key_] = jax.jit(
+                chunk, donate_argnums=(1,) if self.ec.donate_cache else ())
         return self._chunk_fns[key_]
 
     # -- scheduling ------------------------------------------------------------
@@ -312,33 +301,6 @@ class BatchedEngine:
 
     def _live_slots(self) -> List[int]:
         return [b for b, r in enumerate(self.slot_req) if r is not None]
-
-    def _admit(self, req: Request, slot: int) -> None:
-        t0 = time.perf_counter()
-        toks = req.prompt_tokens
-        bucket = self._bucket(len(toks))
-        padded = np.zeros(bucket, np.int32)
-        padded[:len(toks)] = toks
-        key = jnp.asarray(host_prng_key(req.seed))
-        tok, self.cache = self._get_prefill(bucket)(
-            self.params, jnp.asarray(padded), len(toks), slot, self.cache,
-            key, jnp.float32(req.temperature), jnp.float32(req.topp))
-        self._keys = self._fold_keys(
-            self._keys, jnp.asarray([slot], jnp.int32),
-            jnp.asarray([req.seed], jnp.uint32),
-            jnp.asarray([req.id], jnp.uint32))
-        self.slot_req[slot] = req
-        self.pos[slot] = len(toks)
-        self.temps[slot] = req.temperature
-        self.topps[slot] = req.topp
-        first = int(tok)
-        self.pending[slot] = first
-        self.stats.prefill_s += time.perf_counter() - t0
-        self.stats.total_prompt_tokens += len(toks)
-        # the sampled-first token is emitted immediately (it exists even if
-        # it's a stop token — mirroring Engine.generate's emit-then-check);
-        # its cost was paid in prefill_s, so it doesn't count as decode
-        self._emit(slot, first, from_decode=False)
 
     def _emit(self, slot: int, tok: int, from_decode: bool = True) -> None:
         """Append one accepted token to slot's request; free on stop/limit,
@@ -379,10 +341,7 @@ class BatchedEngine:
         take = min(len(free), len(self.queue))
         if take == 0:
             return
-        if take == 1:
-            self._admit(self.queue.pop(0), free[0])
-            return
-        items = [(self.queue.pop(0), slot) for slot in free[:take]]
+        items = [(self.queue.popleft(), slot) for slot in free[:take]]
         groups = {}
         for req, slot in items:
             groups.setdefault(self._bucket(len(req.prompt_tokens)),
@@ -393,7 +352,10 @@ class BatchedEngine:
         _ROWS_CAP = 2048
         waves = []
         for bucket, grp in sorted(groups.items()):
+            # per-wave size is a power of two so the Np padding below can
+            # never overshoot the row cap (42 -> 64 would have)
             per = max(1, _ROWS_CAP // bucket)
+            per = 1 << (per.bit_length() - 1)
             for i in range(0, len(grp), per):
                 waves.append((bucket, grp[i:i + per]))
         for bucket, grp in waves:
@@ -432,6 +394,7 @@ class BatchedEngine:
                 self.temps[slot] = req.temperature
                 self.topps[slot] = req.topp
                 self.pending[slot] = int(firsts[i])
+                req._prev_token = req.prompt_tokens[-1]
                 self.stats.total_prompt_tokens += int(lens[i])
                 self._emit(slot, int(firsts[i]), from_decode=False)
 

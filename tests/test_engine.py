@@ -180,3 +180,36 @@ def test_eval_ppl_tool(tmp_path):
     pf = evaluate(ef, ids, window=32)
     assert 1.0 < pf < 1e7 and 1.0 < p8 < 1e7
     assert abs(math.log(p8) - math.log(pf)) < 0.5 * abs(math.log(pf)) + 0.5
+
+
+def test_cli_benchmark_mode(tmp_path, capsys):
+    from fastllama_tpu import cli
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path))
+    rc = cli.main(["-c", ckpt, "-z", tokp, "-f", "llama2c",
+                   "--mode", "benchmark", "--rounds", "2", "-n", "6",
+                   "-t", "0", "-i", "the cat", "--max-seq-len", "64"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "output_speed" in out and "prompt_token_latency" in out
+
+
+def test_cli_serve_with_mesh(tmp_path, capsys):
+    import jax
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs >= 2 virtual devices")
+    from fastllama_tpu import cli
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path))
+    pf = tmp_path / "p.txt"
+    pf.write_text("the cat\nthe dog\n")
+    rc = cli.main(["-c", ckpt, "-z", tokp, "-f", "llama2c",
+                   "--mode", "serve", "--batch", "2", "--mesh",
+                   "data=1,model=2", "--prompts-file", str(pf),
+                   "-n", "4", "-t", "0", "--max-seq-len", "64"])
+    assert rc == 0
+    assert capsys.readouterr().out.count("ttft=") == 2

@@ -159,6 +159,11 @@ class BatchedEngine:
             from functools import partial
             self._mm = partial(qmatmul, compute_dtype=self._cdt)
 
+        # opt-in explicit-TP path: shard_map over the mesh with per-shard
+        # kernels (parallel/spmd_step.py); default = GSPMD auto-partitioning
+        self._spmd = bool(ec.spmd_kernels and self.mesh is not None
+                          and len(self.mesh.devices.flat) > 1)
+
         # device state
         self.cache = BatchedKVCache.create(config, self.B, dtype=self.kv_dtype)
         if self.mesh is not None:
@@ -226,12 +231,25 @@ class BatchedEngine:
         if key_ not in self._prefill_fns:
             cfg, mm, mi, cdt = self.config, self._mm, self._mm_idx, self._cdt
 
-            def f(params, tokens, lengths, slots, cache, keys, temps, topps):
-                logits, cache = prefill_many(
-                    cfg, params, tokens, lengths, slots, cache,
-                    mm=mm, mm_idx=mi, compute_dtype=cdt)
-                toks = sampling.sample_batched(logits, keys, temps, topps)
-                return toks, cache
+            if self._spmd:
+                from fastllama_tpu.parallel.spmd_step import spmd_prefill_many
+                mesh = self.mesh
+
+                def f(params, tokens, lengths, slots, cache, keys, temps,
+                      topps):
+                    logits, cache = spmd_prefill_many(
+                        cfg, mesh, params, tokens, lengths, slots, cache,
+                        mm=mm, mm_idx=mi, compute_dtype=cdt)
+                    toks = sampling.sample_batched(logits, keys, temps, topps)
+                    return toks, cache
+            else:
+                def f(params, tokens, lengths, slots, cache, keys, temps,
+                      topps):
+                    logits, cache = prefill_many(
+                        cfg, params, tokens, lengths, slots, cache,
+                        mm=mm, mm_idx=mi, compute_dtype=cdt)
+                    toks = sampling.sample_batched(logits, keys, temps, topps)
+                    return toks, cache
 
             self._prefill_fns[key_] = jax.jit(
                 f, donate_argnums=(4,) if self.ec.donate_cache else ())
@@ -249,9 +267,17 @@ class BatchedEngine:
             def chunk(params, cache, tokens, pos, keys, temps, topps):
                 def body(carry, _):
                     tok, pos, cache, keys = carry
-                    logits, cache = decode_step(
-                        cfg, params, tok, pos, cache,
-                        mm=mm, mm_idx=mi, attn_bidx=ab, compute_dtype=cdt)
+                    if self._spmd:
+                        from fastllama_tpu.parallel.spmd_step import \
+                            spmd_decode_step
+                        logits, cache = spmd_decode_step(
+                            cfg, self.mesh, params, tok, pos, cache,
+                            mm=mm, mm_idx=mi, attn_bidx=None,
+                            compute_dtype=cdt)
+                    else:
+                        logits, cache = decode_step(
+                            cfg, params, tok, pos, cache,
+                            mm=mm, mm_idx=mi, attn_bidx=ab, compute_dtype=cdt)
                     if greedy_only:
                         nxt = sampling.greedy(logits)
                     else:

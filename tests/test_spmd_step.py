@@ -88,3 +88,73 @@ def test_spmd_decode_with_pallas_kernels_interpret():
         compute_dtype=jnp.float32))(sp, pend, pos, sc)
     np.testing.assert_allclose(np.asarray(got_lg), np.asarray(ref_lg),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_spmd_prefill_matches_replicated():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    from fastllama_tpu.models.batched import prefill_many
+    from fastllama_tpu.parallel.spmd_step import spmd_prefill_many
+
+    mesh = make_mesh("data=1,model=4", jax.devices()[:4])
+    params = random_params(CFG, seed=5)
+    B, T = 3, 8
+    toks = jnp.arange(1, B * T + 1, dtype=jnp.int32).reshape(B, T) % 200
+    lens = jnp.asarray([8, 5, 3], jnp.int32)
+    slots = jnp.asarray([0, 1, 2], jnp.int32)
+
+    cache = BatchedKVCache.create(CFG, B)
+    ref_lg, ref_cache = prefill_many(CFG, params, toks, lens, slots, cache,
+                                     compute_dtype=jnp.float32)
+
+    sp = shard_params(CFG, mesh, params)
+    sh5, sh4 = slot_cache_sharding(CFG, mesh, B)
+    sc = jax.tree.map(
+        lambda a: jax.device_put(a, sh5 if a.ndim == 5 else sh4),
+        BatchedKVCache.create(CFG, B))
+    from functools import partial
+    got_lg, got_cache = jax.jit(partial(
+        spmd_prefill_many, CFG, mesh, mm=qmatmul, mm_idx=None,
+        compute_dtype=jnp.float32))(sp, toks, lens, slots, sc)
+    np.testing.assert_allclose(np.asarray(got_lg), np.asarray(ref_lg),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_cache.k),
+                               np.asarray(ref_cache.k), rtol=2e-4, atol=2e-4)
+
+
+def test_batched_engine_spmd_kernels_matches_default(tmp_path):
+    """EngineConfig(spmd_kernels=True) on a mesh must serve the same greedy
+    outputs as the GSPMD default path."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    from fastllama_tpu.config import EngineConfig
+    from fastllama_tpu.loaders.registry import FileType
+    from fastllama_tpu.runtime.batching import BatchedEngine
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    # group_size 16: the spmd path needs row-parallel group counts (I/gs)
+    # divisible by the model axis
+    cfg = ModelConfig(dim=128, hidden_dim=256, n_layers=2, n_heads=8,
+                      n_kv_heads=4, vocab_size=512, max_seq_len=64,
+                      group_size=16)
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=cfg)
+    prompts = ["the cat sat", "a big dog"]
+
+    base = BatchedEngine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=2,
+                     compute_dtype="float32", mesh="data=1,model=2"),
+        decode_chunk=4)
+    want = [r.output_tokens for r in base.generate_all(
+        prompts, max_new_tokens=8, temperature=0.0, stop_tokens=())]
+
+    spmd = BatchedEngine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=2,
+                     compute_dtype="float32", mesh="data=1,model=2",
+                     spmd_kernels=True),
+        decode_chunk=4)
+    assert spmd._spmd
+    got = [r.output_tokens for r in spmd.generate_all(
+        prompts, max_new_tokens=8, temperature=0.0, stop_tokens=())]
+    assert got == want

@@ -449,3 +449,35 @@ def test_flash_decode_fresh_interpret():
             k_new, v_new, pos)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5, err_msg=f"q{n_kv}")
+
+
+def test_context_limit_exact_fill(batched):
+    """A request whose prompt nearly fills the window is clamped to
+    S - prompt - 1 new tokens, decodes through tail chunks (non-pow2 K
+    buckets), and never overruns slot positions."""
+    _reset(batched)
+    S = batched.S
+    long_prompt = list(range(2, 2 + S - 5))     # S-5 prompt tokens
+    req = batched.submit(long_prompt, max_new_tokens=999, temperature=0.0,
+                         stop_tokens=())
+    assert req.max_new_tokens == S - len(long_prompt) - 1
+    batched.run()
+    assert req.done
+    assert len(req.output_tokens) == req.max_new_tokens
+    assert batched.pos.max() <= S - 1
+    assert all(r is None for r in batched.slot_req)
+
+
+def test_mixed_lengths_through_slots(batched):
+    """Short and near-window requests interleave: the chunk K honours the
+    tightest live slot without starving the long one."""
+    _reset(batched)
+    S = batched.S
+    long_prompt = list(range(2, 2 + S - 8))
+    r_long = batched.submit(long_prompt, max_new_tokens=7, temperature=0.0,
+                            stop_tokens=())
+    r_short = batched.submit([5, 7, 9], max_new_tokens=30, temperature=0.0,
+                             stop_tokens=())
+    batched.run()
+    assert r_long.done and len(r_long.output_tokens) == 7
+    assert r_short.done and len(r_short.output_tokens) == 30

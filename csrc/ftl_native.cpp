@@ -107,7 +107,6 @@ void* flt_tokenizer_new(const char* texts, const int64_t* offsets,
     // llama2.c-bin path leaves _conn_tag unset)
     tk->underline_id = strlen(conn_tag)
         ? tk->map.find(conn_tag, strlen(conn_tag)) : -1;
-    delete[] (char*)nullptr;  // keep -Wall quiet about unused paths
     return tk;
 }
 

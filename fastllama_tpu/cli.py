@@ -195,29 +195,32 @@ def main(argv=None) -> int:
         profiler.__enter__()
 
     agg = dict(ptok=0.0, otok=0.0, ps=0.0, ds=0.0)
-    for r in range(rounds):
-        if not bench:
-            print(f"prompt: {prompt}\noutput: ", end="", flush=True)
-
-        def cb(text, tok):
+    try:
+        for r in range(rounds):
             if not bench:
-                print(text, end="", flush=True)
-            return True
+                print(f"prompt: {prompt}\noutput: ", end="", flush=True)
 
-        toks, st = eng.generate(prompt, args.max_new_tokens,
-                                args.temperature, args.topp,
-                                seed=args.seed + r, callback=cb,
-                                decode_chunk=args.decode_chunk)
-        if not bench:
-            print()
-        agg["ptok"] += st.prompt_tokens
-        agg["otok"] += st.output_tokens
-        agg["ps"] += st.prefill_s
-        agg["ds"] += st.decode_s
+            def cb(text, tok):
+                if not bench:
+                    print(text, end="", flush=True)
+                return True
 
-    if profiler is not None:
-        profiler.__exit__(None, None, None)
-        print(f"# trace written to {args.profile_dir}", file=sys.stderr)
+            toks, st = eng.generate(prompt, args.max_new_tokens,
+                                    args.temperature, args.topp,
+                                    seed=args.seed + r, callback=cb,
+                                    decode_chunk=args.decode_chunk)
+            if not bench:
+                print()
+            agg["ptok"] += st.prompt_tokens
+            agg["otok"] += st.output_tokens
+            agg["ps"] += st.prefill_s
+            agg["ds"] += st.decode_s
+    finally:
+        # stop the trace even when a round raises — otherwise the profiler
+        # keeps running and the trace is never written
+        if profiler is not None:
+            profiler.__exit__(None, None, None)
+            print(f"# trace written to {args.profile_dir}", file=sys.stderr)
 
     n = rounds
     ptok, otok = agg["ptok"] / n, agg["otok"] / n

@@ -135,8 +135,12 @@ class EngineConfig:
     # and the jnp compute path runs partitioned by XLA; the Pallas fast path
     # is single-device and is disabled under a multi-device mesh.
     mesh: str = ""
-    # opt-in: on a multi-device mesh, run the batched engine's decode/prefill
-    # through the explicit shard_map path (parallel/spmd_step.py) — each
-    # device executes the fused kernels on its local shards with per-layer
-    # psums, instead of GSPMD auto-partitioning the jnp ops.
+    # opt-in: on a multi-device mesh, run the engines' decode/prefill through
+    # the explicit shard_map path (parallel/spmd_step.py) — each device
+    # executes the fused Pallas kernels on its LOCAL weight/KV shards with
+    # per-layer psums, instead of GSPMD auto-partitioning the jnp ops.
     spmd_kernels: bool = False
+    # run the Pallas kernels in interpret mode (works on the CPU backend) —
+    # lets engine-level tests exercise the exact kernel code paths on the
+    # virtual-device mesh; never set on real TPU runs.
+    pallas_interpret: bool = False

@@ -4,8 +4,10 @@ Reference: ``rmsnorm`` (x86_simd.cpp:1750-1764, eps hardcoded 1e-5),
 ``swiglu`` (x86_simd.cpp:1767-1770: ``xo = xo * sigmoid(xo) * xi``),
 ``softmax`` with max-subtraction (tf_operators.cpp:176-209).
 
-These are jnp implementations; XLA fuses them into neighbouring ops.  The
-fused rmsnorm+quantize Pallas epilogue lives in ops/pallas/.
+These are jnp implementations; XLA fuses them into neighbouring ops.  (An
+rmsnorm+quantize Pallas epilogue was considered and dropped: the engines
+dequantize WEIGHTS in-kernel and keep activations bf16, so there is no
+activation-quantize step on the hot path outside parity mode.)
 """
 from __future__ import annotations
 

@@ -47,6 +47,15 @@ def make_mesh(spec: str = "", devices=None) -> Mesh:
     total = shape[DATA_AXIS] * shape[MODEL_AXIS]
     if total > n:
         raise ValueError(f"mesh {shape} needs {total} devices, have {n}")
+    if total < n:
+        # single-process convenience only: a subset mesh in a multi-process
+        # run would exclude some processes' devices and hang collectives
+        if jax.process_count() > 1:
+            raise ValueError(
+                f"mesh {shape} covers {total} of {n} devices; multi-process "
+                f"meshes must include every device")
+        import warnings
+        warnings.warn(f"mesh {shape} uses only {total} of {n} devices")
     arr = np.asarray(devices[:total]).reshape(shape[DATA_AXIS],
                                               shape[MODEL_AXIS])
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))

@@ -70,10 +70,13 @@ class QArray:
     group_size: int = dataclasses.field(metadata=dict(static=True))
     group_axis: int = dataclasses.field(default=-1, metadata=dict(static=True))
     # INT4 nibble packing along axis -2 (the contraction axis of transposed
-    # weights): ``data`` is int8 of half height, byte row r = (even value in
-    # the low nibble, odd in the high) for logical rows 2r / 2r+1 — the
-    # reference's Bit4Pair (quant_operators.h:25-31) rotated onto the TPU
-    # layout.  Halves decode HBM traffic; kernels unpack in VMEM.
+    # weights): ``data`` is int8 of half height, SPLIT-HALF order — byte row
+    # r holds logical row r in the low nibble and logical row r + I/2 in the
+    # high nibble (pack_int4_rows_np; both kernels unpack the same way).
+    # The same two-values-per-byte wire idea as the reference's Bit4Pair
+    # (quant_operators.h:25-31), but split-half keeps each nibble plane a
+    # contiguous K-range so the kernel runs two clean half-K MXU passes.
+    # Halves decode HBM traffic; kernels unpack in VMEM.
     packed: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property

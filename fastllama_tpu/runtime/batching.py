@@ -126,8 +126,14 @@ class BatchedEngine:
             self.mesh = make_mesh(ec.mesh)
             params = shard_params(config, self.mesh, params)
             if len(self.mesh.devices.flat) > 1:
-                ec = dataclasses.replace(ec, use_pallas=False,
-                                         fuse_weights=False)
+                # GSPMD can't partition a single-device Pallas call, so the
+                # fused kernels are only legal under the explicit shard_map
+                # path (spmd_kernels), where each device traces them on its
+                # LOCAL shard shapes.  fuse_weights' concatenated layouts
+                # don't match the TP shardings either way.
+                ec = dataclasses.replace(
+                    ec, fuse_weights=False,
+                    use_pallas=ec.use_pallas and ec.spmd_kernels)
         if ec.fuse_weights and not ec.parity_mode:
             from fastllama_tpu.models.llama import fuse_params
             params = fuse_params(config, params)
@@ -142,19 +148,23 @@ class BatchedEngine:
         self._mm_idx = None
         self._attn_bidx = None
         self._attn_bidx_factory = None
-        if ec.use_pallas and jax.default_backend() not in ("cpu",):
+        interp = ec.pallas_interpret
+        if ec.use_pallas and (interp or jax.default_backend() not in ("cpu",)):
+            from functools import partial as _partial
             from fastllama_tpu.ops.pallas.qmm import make_mm, make_mm_indexed
-            self._mm = make_mm(compute_dtype=self._cdt)
-            self._mm_idx = make_mm_indexed(compute_dtype=self._cdt)
+            self._mm = make_mm(compute_dtype=self._cdt, interpret=interp)
+            self._mm_idx = make_mm_indexed(compute_dtype=self._cdt,
+                                           interpret=interp)
             if ec.flash_attention:
                 from fastllama_tpu.ops.pallas.flash_decode import \
                     make_attn_batched_flash
-                self._attn_bidx = make_attn_batched_flash()
-                self._attn_bidx_factory = make_attn_batched_flash
+                self._attn_bidx = make_attn_batched_flash(interpret=interp)
+                self._attn_bidx_factory = _partial(make_attn_batched_flash,
+                                                   interpret=interp)
             else:
                 from fastllama_tpu.ops.pallas.attention import \
                     make_attn_batched
-                self._attn_bidx = make_attn_batched()
+                self._attn_bidx = make_attn_batched(interpret=interp)
         if self._mm is None:
             from functools import partial
             self._mm = partial(qmatmul, compute_dtype=self._cdt)
@@ -272,7 +282,7 @@ class BatchedEngine:
                             spmd_decode_step
                         logits, cache = spmd_decode_step(
                             cfg, self.mesh, params, tok, pos, cache,
-                            mm=mm, mm_idx=mi, attn_bidx=None,
+                            mm=mm, mm_idx=mi, attn_bidx=ab,
                             compute_dtype=cdt)
                     else:
                         logits, cache = decode_step(

@@ -72,8 +72,11 @@ class Engine:
             self.mesh = make_mesh(ec.mesh)
             params = shard_params(config, self.mesh, params)
             if len(self.mesh.devices.flat) > 1:
-                ec = dataclasses.replace(ec, use_pallas=False,
-                                         fuse_weights=False)
+                # fused kernels are only legal under shard_map (spmd_kernels):
+                # GSPMD can't partition a single-device Pallas call
+                ec = dataclasses.replace(
+                    ec, fuse_weights=False,
+                    use_pallas=ec.use_pallas and ec.spmd_kernels)
         if ec.fuse_weights and not ec.parity_mode:
             from fastllama_tpu.models.llama import fuse_params
             params = fuse_params(config, params)
@@ -87,25 +90,59 @@ class Engine:
                 "quantized cache); the single-stream engine keeps fp/bf16")
         self._cdt = jnp.dtype(jnp.float32 if ec.parity_mode else ec.compute_dtype)
         self._attn_idx_factory = None
+        # explicit-TP (shard_map) mode: per-shard fused kernels, see below
+        self._spmd = bool(ec.spmd_kernels and self.mesh is not None
+                          and len(self.mesh.devices.flat) > 1)
+        interp = ec.pallas_interpret
+        pallas_ok = ec.use_pallas and (interp or
+                                       jax.default_backend() not in ("cpu",))
         if ec.parity_mode:
             self._mm = qmatmul_parity
-        elif ec.use_pallas and jax.default_backend() not in ("cpu",):
+        elif pallas_ok and not self._spmd:
             from fastllama_tpu.ops.pallas.attention import make_attn
             from fastllama_tpu.ops.pallas.qmm import make_mm, make_mm_indexed
-            self._mm = make_mm(compute_dtype=self._cdt)
-            self._mm_idx = make_mm_indexed(compute_dtype=self._cdt)
-            self._attn = make_attn()
+            self._mm = make_mm(compute_dtype=self._cdt, interpret=interp)
+            self._mm_idx = make_mm_indexed(compute_dtype=self._cdt,
+                                           interpret=interp)
+            self._attn = make_attn(interpret=interp)
             if ec.flash_attention:
                 from fastllama_tpu.ops.pallas.flash_decode import \
                     make_attn_indexed_flash
-                self._attn_idx = make_attn_indexed_flash()
-                self._attn_idx_factory = make_attn_indexed_flash
+                self._attn_idx = make_attn_indexed_flash(interpret=interp)
+                self._attn_idx_factory = partial(make_attn_indexed_flash,
+                                                 interpret=interp)
             else:
                 from fastllama_tpu.ops.pallas.attention import \
                     make_attn_indexed
-                self._attn_idx = make_attn_indexed()
+                self._attn_idx = make_attn_indexed(interpret=interp)
         else:
             self._mm = partial(qmatmul, compute_dtype=self._cdt)
+        # spmd kernel set: used ONLY inside shard_map bodies, where each
+        # device traces them on its local shard shapes.  The GSPMD-jit paths
+        # (mid-sequence prefill, _get_step) keep the jnp self._mm above —
+        # XLA can't partition a single-device Pallas custom call.
+        self._sp_mm = self._sp_mm_idx = self._sp_attn_bidx = None
+        self._sp_attn_bidx_factory = None
+        if self._spmd:
+            self._sp_mm = partial(qmatmul, compute_dtype=self._cdt)
+            if pallas_ok:
+                from fastllama_tpu.ops.pallas.qmm import (make_mm,
+                                                          make_mm_indexed)
+                self._sp_mm = make_mm(compute_dtype=self._cdt,
+                                      interpret=interp)
+                self._sp_mm_idx = make_mm_indexed(compute_dtype=self._cdt,
+                                                  interpret=interp)
+                if ec.flash_attention:
+                    from fastllama_tpu.ops.pallas.flash_decode import \
+                        make_attn_batched_flash
+                    self._sp_attn_bidx = make_attn_batched_flash(
+                        interpret=interp)
+                    self._sp_attn_bidx_factory = partial(
+                        make_attn_batched_flash, interpret=interp)
+                else:
+                    from fastllama_tpu.ops.pallas.attention import \
+                        make_attn_batched
+                    self._sp_attn_bidx = make_attn_batched(interpret=interp)
         if not hasattr(self, "_attn"):
             from fastllama_tpu.ops.attention import gqa_attention
             self._attn = gqa_attention
@@ -151,7 +188,23 @@ class Engine:
             cfg, mm, at = self.config, self._mm, self._attn
             mi, ai, cdt = self._mm_idx, self._attn_idx, self._cdt
 
-            if fresh:
+            if fresh and self._spmd:
+                from fastllama_tpu.models.batched import BatchedKVCache
+                from fastllama_tpu.parallel.spmd_step import spmd_prefill_many
+                mesh, smm, smi = self.mesh, self._sp_mm, self._sp_mm_idx
+
+                def f(params, tokens, cache, length, pos):
+                    L, H, S, hs = cache.k.shape
+                    bc = BatchedKVCache(cache.k.reshape(L, 1, H, S, hs),
+                                        cache.v.reshape(L, 1, H, S, hs))
+                    logits, bc = spmd_prefill_many(
+                        cfg, mesh, params, tokens[None],
+                        jnp.asarray(length, jnp.int32).reshape(1),
+                        jnp.zeros(1, jnp.int32), bc,
+                        mm=smm, mm_idx=smi, compute_dtype=cdt)
+                    return logits[0], KVCache(bc.k.reshape(L, H, S, hs),
+                                              bc.v.reshape(L, H, S, hs))
+            elif fresh:
                 from fastllama_tpu.models.batched import (BatchedKVCache,
                                                           prefill_into_slot)
 
@@ -184,12 +237,34 @@ class Engine:
             if s_bound and self._attn_idx_factory is not None:
                 ai = self._attn_idx_factory(s_bound)
 
+            if self._spmd:
+                from fastllama_tpu.models.batched import BatchedKVCache
+                from fastllama_tpu.parallel.spmd_step import spmd_decode_step
+                mesh, smm, smi = self.mesh, self._sp_mm, self._sp_mm_idx
+                sab = self._sp_attn_bidx
+                if s_bound and self._sp_attn_bidx_factory is not None:
+                    sab = self._sp_attn_bidx_factory(s_bound)
+
+                def step_fn(params, tok, pos, cache):
+                    L, H, S, hs = cache.k.shape
+                    bc = BatchedKVCache(cache.k.reshape(L, 1, H, S, hs),
+                                        cache.v.reshape(L, 1, H, S, hs))
+                    lg, bc = spmd_decode_step(
+                        cfg, mesh, params, tok[None],
+                        jnp.asarray(pos, jnp.int32).reshape(1), bc,
+                        mm=smm, mm_idx=smi, attn_bidx=sab, compute_dtype=cdt)
+                    return lg, KVCache(bc.k.reshape(L, H, S, hs),
+                                       bc.v.reshape(L, H, S, hs))
+            else:
+                def step_fn(params, tok, pos, cache):
+                    return forward(cfg, params, tok[None], pos, cache,
+                                   mm=mm, attn=at, mm_idx=mi, attn_idx=ai,
+                                   compute_dtype=cdt)
+
             def chunk(params, cache, token, pos0, rng):
                 def body(carry, _):
                     tok, pos, cache, rng = carry
-                    lg, cache = forward(cfg, params, tok[None], pos, cache,
-                                        mm=mm, attn=at, mm_idx=mi, attn_idx=ai,
-                                    compute_dtype=cdt)
+                    lg, cache = step_fn(params, tok, pos, cache)
                     rng, sub = jax.random.split(rng)
                     nxt = sampling.sample(lg[0], sub, temperature, topp)
                     return (nxt, pos + 1, cache, rng), nxt
@@ -310,7 +385,8 @@ class Engine:
             while len(out) < max_new_tokens:
                 n = min(decode_chunk, max_new_tokens - len(out))
                 sb = (round_bound(pos + n, cfg.max_seq_len)
-                      if self._attn_idx_factory else 0)
+                      if (self._attn_idx_factory or
+                          self._sp_attn_bidx_factory) else 0)
                 fn = self._get_decode_chunk(n, temperature, topp, sb)
                 toks, cache, rng = fn(self.params, cache, tok, pos, rng)
                 toks_np = np.asarray(toks)
@@ -405,7 +481,8 @@ class ChatSession:
                 break
             from fastllama_tpu.ops.pallas.flash_decode import round_bound
             sb = (round_bound(self.pos + n, eng.config.max_seq_len)
-                  if eng._attn_idx_factory else 0)
+                  if (eng._attn_idx_factory or
+                      eng._sp_attn_bidx_factory) else 0)
             fn = eng._get_decode_chunk(n, temperature, topp, sb)
             toks_out, self.cache, rng = fn(
                 eng.params, self.cache, jnp.asarray(pending, jnp.int32),

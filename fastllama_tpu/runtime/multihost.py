@@ -1,0 +1,430 @@
+"""Multi-host continuous-batching serving — per-host admission over the DCN
+``data`` axis, tensor parallelism over the within-host ``model`` axis.
+
+The reference is strictly single-process (SURVEY §5: no distributed backend);
+this is the capability the TPU build adds on top.  Design:
+
+* One process per host (``jax.distributed.initialize``), a single global
+  ``('data', 'model')`` mesh (parallel/distributed.global_mesh): the ``data``
+  axis spans hosts (slots/activations cross DCN only at admission), the
+  ``model`` axis spans each host's local chips (weight collectives ride ICI).
+* Every host owns a contiguous range of KV-cache slots — the slot axis is
+  sharded over ``data`` so a host's slot K/V rows live on its own chips —
+  plus one reserved **sink slot** that absorbs the padded admissions of
+  lockstep waves (a host with nothing to admit still participates in the
+  global program; its dummy rows land in the sink, never in a serving slot).
+* **Lockstep protocol**: SPMD requires every process to issue the same
+  compiled calls with the same static shapes.  Each ``step()`` starts with
+  ONE tiny ``process_allgather`` of the per-host plan (queued count, bucket,
+  live flags, chunk bound, greedy flag); every host then derives the same
+  global decision (admission wave shape, decode chunk length, sampling mode)
+  and issues identical jit calls, feeding its own local shard of the global
+  arrays (``jax.make_array_from_process_local_data``) and reading back only
+  its local columns (``global_array_to_host_local_array``).
+
+Single-process degenerates cleanly: the allgather is a no-op, the mesh is
+local, and behavior matches BatchedEngine's scheduler (minus the per-slot
+RNG-key device state: chunk keys are host-built ``[seed, counter]`` pairs —
+any uint32 pair is a valid threefry key, and this keeps admission free of
+device round-trips).
+
+Scaling model (BASELINE.json's >=85% multi-host target): decode work per
+host is constant in the number of hosts — weights are replicated over
+``data`` (each host holds a full TP copy on its own chips), a host's slots'
+KV traffic is host-local, and the only cross-host costs are the per-step
+plan allgather (a few hundred bytes over DCN, amortized over a whole decode
+chunk) plus XLA's logits resharding.  Aggregate throughput should therefore
+scale ~linearly with hosts; the 2-process CPU test asserts the protocol,
+real-pod numbers must come from hardware.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import deque
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import multihost_utils
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fastllama_tpu.config import EngineConfig, ModelConfig, QuantType
+from fastllama_tpu.loaders.registry import FileType
+from fastllama_tpu.loaders.tokenizer import Tokenizer
+from fastllama_tpu.models.batched import (BatchedKVCache, decode_step,
+                                          prefill_many)
+from fastllama_tpu.models.llama import LlamaParams
+from fastllama_tpu.ops import sampling
+from fastllama_tpu.ops.qmatmul import qmatmul
+from fastllama_tpu.parallel.sharding import DATA_AXIS, MODEL_AXIS
+from fastllama_tpu.runtime.batching import BatchStats, Request
+
+# lockstep plan vector layout (int32): one row per host
+_PLAN_ADMIT = 0      # admissions this host wants this step (<= free slots)
+_PLAN_BUCKET = 1     # prefill bucket those admissions need (max)
+_PLAN_LIVE = 2       # 1 if host has live slots after admission
+_PLAN_KMAX = 3       # host's max safe decode-chunk length
+_PLAN_GREEDY = 4     # 1 if all of host's live requests are greedy
+_PLAN_WIDTH = 5
+
+_ADMIT_CAP = 8       # max admissions per host per wave (bounds compile keys)
+
+
+class MultiHostEngine:
+    """Continuous batching across ``jax.process_count()`` hosts.
+
+    Each host calls :meth:`submit` with its own clients' prompts and then
+    drives :meth:`step`/:meth:`run` — all hosts must call them in lockstep
+    (they already do when every host runs the same serving loop)."""
+
+    def __init__(self, config: ModelConfig, params: LlamaParams,
+                 tokenizer: Tokenizer,
+                 engine_config: Optional[EngineConfig] = None,
+                 decode_chunk: int = 16, mesh=None):
+        ec = engine_config or EngineConfig()
+        if ec.max_seq_len:
+            config = config.replace(max_seq_len=min(config.max_seq_len,
+                                                    ec.max_seq_len))
+        config.validate()
+        self.config = config
+        self.tokenizer = tokenizer
+        self.ec = ec
+        self.decode_chunk = decode_chunk
+        self.kv_dtype = jnp.dtype(ec.kv_dtype)
+        self._cdt = jnp.dtype(ec.compute_dtype)
+        self.rank = jax.process_index()
+        self.n_hosts = max(1, jax.process_count())
+
+        if mesh is None:
+            from fastllama_tpu.parallel.distributed import global_mesh
+            mesh = global_mesh(ec.mesh or
+                               f"data={self.n_hosts},"
+                               f"model={jax.local_device_count()}")
+        self.mesh = mesh
+        if mesh.shape[DATA_AXIS] != self.n_hosts:
+            raise ValueError(
+                f"data axis ({mesh.shape[DATA_AXIS]}) must equal the process "
+                f"count ({self.n_hosts}): slots are per-host")
+
+        from fastllama_tpu.parallel.sharding import shard_params
+        self.params = shard_params(config, mesh, params)
+
+        # slots: W per host = serving slots + 1 sink for padded admissions
+        self.W = max(2, ec.max_batch_size + 1)
+        self.B = self.W * self.n_hosts
+        self.serve_w = self.W - 1
+        self.slot0 = self.rank * self.W            # first global local slot
+
+        mp = mesh.shape[MODEL_AXIS]
+        head_ax = MODEL_AXIS if config.n_kv_heads % mp == 0 else None
+        sh5 = NamedSharding(mesh, P(None, DATA_AXIS, head_ax, None, None))
+        sh4 = NamedSharding(mesh, P(None, DATA_AXIS, head_ax, None))
+        S = config.max_seq_len
+        shape = (config.n_layers, self.B, config.n_kv_heads, S,
+                 config.head_size)
+        if self.kv_dtype == jnp.int8:
+            self.cache = BatchedKVCache(
+                jax.jit(lambda: jnp.zeros(shape, jnp.int8),
+                        out_shardings=sh5)(),
+                jax.jit(lambda: jnp.zeros(shape, jnp.int8),
+                        out_shardings=sh5)(),
+                jax.jit(lambda: jnp.ones(shape[:-1], jnp.float32),
+                        out_shardings=sh4)(),
+                jax.jit(lambda: jnp.ones(shape[:-1], jnp.float32),
+                        out_shardings=sh4)())
+        else:
+            z = jax.jit(lambda: jnp.zeros(shape, self.kv_dtype),
+                        out_shardings=sh5)
+            self.cache = BatchedKVCache(z(), z())
+        self.S = S
+
+        # host-local slot state (serving slots only; the sink is never live)
+        self.slot_req: List[Optional[Request]] = [None] * self.serve_w
+        self.pos = np.zeros(self.W, np.int32)
+        self.pending = np.zeros(self.W, np.int32)
+        self.temps = np.zeros(self.W, np.float32)
+        self.topps = np.ones(self.W, np.float32)
+        self.keys = np.zeros((self.W, 2), np.uint32)
+
+        self.queue = deque()
+        self.stats = BatchStats()
+        self._next_id = 0
+        self._chunk_counter = 0
+        self._prefill_fns = {}
+        self._chunk_fns = {}
+        self._sh_slot_i32 = NamedSharding(mesh, P(DATA_AXIS))
+        self._sh_slot_f32 = self._sh_slot_i32
+        self._sh_rows2 = NamedSharding(mesh, P(DATA_AXIS, None))
+
+    @staticmethod
+    def load(ckpt_path: str, tokenizer_path: str = "",
+             file_type: FileType = FileType.UNKNOWN,
+             qtype: Optional[QuantType] = None,
+             engine_config: Optional[EngineConfig] = None,
+             decode_chunk: int = 16, mesh=None) -> "MultiHostEngine":
+        from fastllama_tpu.loaders.registry import resolve_and_build
+        ec = engine_config or EngineConfig()
+        if not ec.mesh:
+            ec = dataclasses.replace(
+                ec, mesh=f"data={max(1, jax.process_count())},"
+                         f"model={jax.local_device_count()}")
+        # device_put=None + ec.mesh => registry pads hidden_dim for the
+        # model axis and keeps weights host-side; __init__ shards them
+        cfg, params, tok = resolve_and_build(
+            ckpt_path, tokenizer_path, file_type, qtype, ec, None)
+        return MultiHostEngine(cfg, params, tok, ec, decode_chunk, mesh)
+
+    # -- global/local array plumbing ----------------------------------------
+
+    def _to_global(self, local: np.ndarray, sharding) -> jax.Array:
+        return jax.make_array_from_process_local_data(sharding, local)
+
+    def _to_local(self, garr: jax.Array, spec: P) -> np.ndarray:
+        host = multihost_utils.global_array_to_host_local_array(
+            garr, self.mesh, spec)
+        return np.asarray(host)
+
+    # -- compiled steps ------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self.ec.prefill_buckets:
+            if b >= n and b <= self.S:
+                return b
+        return self.S
+
+    def _get_prefill(self, bucket: int, a: int):
+        key_ = (bucket, a)
+        if key_ not in self._prefill_fns:
+            cfg, cdt = self.config, self._cdt
+
+            def f(params, tokens, lengths, slots, cache, keys, temps, topps):
+                logits, cache = prefill_many(
+                    cfg, params, tokens, lengths, slots, cache,
+                    mm=qmatmul, compute_dtype=cdt)
+                toks = sampling.sample_batched(logits, keys, temps, topps)
+                return toks, cache
+
+            self._prefill_fns[key_] = jax.jit(
+                f, donate_argnums=(4,) if self.ec.donate_cache else ())
+        return self._prefill_fns[key_]
+
+    def _get_chunk(self, n_steps: int, greedy_only: bool):
+        key_ = (n_steps, greedy_only)
+        if key_ not in self._chunk_fns:
+            cfg, cdt, S = self.config, self._cdt, self.S
+
+            def chunk(params, cache, tokens, pos, keys, temps, topps):
+                def body(carry, _):
+                    tok, pos, cache, keys = carry
+                    logits, cache = decode_step(
+                        cfg, params, tok, pos, cache,
+                        mm=qmatmul, compute_dtype=cdt)
+                    if greedy_only:
+                        nxt = sampling.greedy(logits)
+                    else:
+                        splits = jax.vmap(jax.random.split)(keys)
+                        keys = splits[:, 0]
+                        nxt = sampling.sample_batched(
+                            logits, splits[:, 1], temps, topps)
+                    pos = jnp.minimum(pos + 1, S - 1)
+                    return (nxt, pos, cache, keys), nxt
+
+                (tok, pos, cache, keys), toks = jax.lax.scan(
+                    body, (tokens, pos, cache, keys), length=n_steps)
+                # slot-major so hosts read their own columns off DCN
+                return jax.lax.with_sharding_constraint(
+                    toks, NamedSharding(self.mesh, P(None, DATA_AXIS))), cache
+
+            self._chunk_fns[key_] = jax.jit(
+                chunk, donate_argnums=(1,) if self.ec.donate_cache else ())
+        return self._chunk_fns[key_]
+
+    # -- scheduling ------------------------------------------------------------
+
+    def submit(self, prompt, max_new_tokens: int = 256,
+               temperature: float = 0.0, topp: float = 0.9,
+               seed: int = 128391297,
+               stop_tokens: Optional[Sequence[int]] = None,
+               callback=None) -> Request:
+        tokens = (self.tokenizer.encode(prompt, add_bos=True)
+                  if isinstance(prompt, str) else list(prompt))
+        if not tokens:
+            raise ValueError("empty prompt")
+        if len(tokens) >= self.S:
+            raise ValueError(f"prompt too long: {len(tokens)} >= {self.S}")
+        if stop_tokens is None:
+            stop_tokens = (0, self.tokenizer.eos_token_id)
+        req = Request(
+            id=self._next_id * self.n_hosts + self.rank,
+            prompt_tokens=tokens,
+            max_new_tokens=min(max_new_tokens, self.S - len(tokens) - 1),
+            temperature=temperature, topp=topp, seed=seed,
+            callback=callback, stop_tokens=tuple(int(t) for t in stop_tokens),
+            submit_s=time.perf_counter())
+        self._next_id += 1
+        self.queue.append(req)
+        return req
+
+    def _emit(self, slot: int, tok: int, from_decode: bool = True) -> None:
+        req = self.slot_req[slot]
+        if not req.output_tokens:
+            req.first_token_s = time.perf_counter()
+        req.output_tokens.append(tok)
+        self.stats.total_output_tokens += 1
+        if from_decode:
+            self.stats.decode_tokens += 1
+        cancelled = False
+        if req.callback is not None and tok not in req.stop_tokens:
+            if req._stream is None:
+                from fastllama_tpu.loaders.tokenizer import StreamDecoder
+                req._stream = StreamDecoder(self.tokenizer)
+            text = req._stream.piece(tok, req._prev_token)
+            cancelled = req.callback(text, tok) is False
+        req._prev_token = tok
+        if cancelled or tok in req.stop_tokens \
+                or len(req.output_tokens) >= req.max_new_tokens:
+            req.done = True
+            req.finish_s = time.perf_counter()
+            self.slot_req[slot] = None
+            self.pos[slot] = 0
+            self.pending[slot] = 0
+            self.stats.completed += 1
+
+    def _local_plan(self) -> np.ndarray:
+        plan = np.zeros(_PLAN_WIDTH, np.int32)
+        free = [i for i, r in enumerate(self.slot_req) if r is None]
+        take = min(len(free), len(self.queue), _ADMIT_CAP)
+        plan[_PLAN_ADMIT] = take
+        if take:
+            plan[_PLAN_BUCKET] = max(
+                self._bucket(len(self.queue[i].prompt_tokens))
+                for i in range(take))
+        live = [i for i, r in enumerate(self.slot_req) if r is not None]
+        will_live = bool(live) or take > 0
+        plan[_PLAN_LIVE] = int(will_live)
+        if live:
+            kmax = min(self.decode_chunk,
+                       min(self.S - 1 - int(self.pos[i]) for i in live),
+                       max(r.max_new_tokens - len(r.output_tokens)
+                           for r in (self.slot_req[i] for i in live)))
+            plan[_PLAN_KMAX] = max(1, kmax)
+            plan[_PLAN_GREEDY] = int(all(
+                self.slot_req[i].temperature <= 0.0 for i in live))
+        else:
+            plan[_PLAN_KMAX] = self.decode_chunk
+            plan[_PLAN_GREEDY] = 1
+        return plan
+
+    def _admit_wave(self, a: int, bucket: int) -> None:
+        """All hosts run one (a, bucket) admission wave; this host fills its
+        first ``n`` rows with real requests, the rest with sink-slot dummies."""
+        free = [i for i, r in enumerate(self.slot_req) if r is None]
+        n = min(len(free), len(self.queue), a)
+        items = [(self.queue.popleft(), free[i]) for i in range(n)]
+
+        toks_np = np.zeros((a, bucket), np.int32)
+        lens = np.ones(a, np.int32)
+        slots_np = np.full(a, self.slot0 + self.serve_w, np.int32)  # sink
+        temps = np.zeros(a, np.float32)
+        topps = np.ones(a, np.float32)
+        keys = np.zeros((a, 2), np.uint32)
+        for i, (req, slot) in enumerate(items):
+            toks_np[i, :len(req.prompt_tokens)] = req.prompt_tokens
+            lens[i] = len(req.prompt_tokens)
+            slots_np[i] = self.slot0 + slot
+            temps[i] = req.temperature
+            topps[i] = req.topp
+            keys[i] = (req.seed & 0xFFFFFFFF, req.id & 0xFFFFFFFF)
+
+        t0 = time.perf_counter()
+        fn = self._get_prefill(bucket, a)
+        firsts, self.cache = fn(
+            self.params,
+            self._to_global(toks_np, self._sh_rows2),
+            self._to_global(lens, self._sh_slot_i32),
+            self._to_global(slots_np, self._sh_slot_i32),
+            self.cache,
+            self._to_global(keys, self._sh_rows2),
+            self._to_global(temps, self._sh_slot_f32),
+            self._to_global(topps, self._sh_slot_f32))
+        firsts = self._to_local(firsts, P(DATA_AXIS))
+        self.stats.prefill_s += time.perf_counter() - t0
+
+        for i, (req, slot) in enumerate(items):
+            self.slot_req[slot] = req
+            self.pos[slot] = lens[i]
+            self.temps[slot] = req.temperature
+            self.topps[slot] = req.topp
+            self.pending[slot] = int(firsts[i])
+            self.keys[slot] = (req.seed & 0xFFFFFFFF,
+                               (req.id * 65537 + 1) & 0xFFFFFFFF)
+            req._prev_token = req.prompt_tokens[-1]
+            self.stats.total_prompt_tokens += int(lens[i])
+            self._emit(slot, int(firsts[i]), from_decode=False)
+
+    def step(self) -> bool:
+        """One lockstep scheduling round across all hosts.  Returns True
+        while ANY host still has work."""
+        plans = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(self._local_plan())))
+        plans = plans.reshape(self.n_hosts, _PLAN_WIDTH)
+
+        a = int(plans[:, _PLAN_ADMIT].max())
+        if a > 0:
+            self._admit_wave(a, int(plans[:, _PLAN_BUCKET].max()))
+
+        if not plans[:, _PLAN_LIVE].any():
+            return False
+
+        K = int(plans[:, _PLAN_KMAX].min())
+        K = 1 << (max(K, 1).bit_length() - 1)
+        greedy = bool(plans[:, _PLAN_GREEDY].all())
+
+        # fresh chunk keys: any uint32 pair is a valid threefry key; vary the
+        # counter so resampling differs per chunk
+        self._chunk_counter += 1
+        kv = self.keys.copy()
+        kv[:, 1] = (kv[:, 1] + self._chunk_counter) & 0xFFFFFFFF
+
+        t0 = time.perf_counter()
+        fn = self._get_chunk(K, greedy)
+        toks, self.cache = fn(
+            self.params, self.cache,
+            self._to_global(self.pending, self._sh_slot_i32),
+            self._to_global(self.pos, self._sh_slot_i32),
+            self._to_global(kv, self._sh_rows2),
+            self._to_global(self.temps, self._sh_slot_f32),
+            self._to_global(self.topps, self._sh_slot_f32))
+        toks_np = self._to_local(toks, P(None, DATA_AXIS))     # (K, W)
+        self.stats.decode_s += time.perf_counter() - t0
+
+        live = [i for i, r in enumerate(self.slot_req) if r is not None]
+        self.pos = np.minimum(self.pos + K, self.S - 1)
+        self.pending = toks_np[-1].copy()
+        for w in range(self.W):
+            if w >= self.serve_w or self.slot_req[w] is None:
+                self.pos[w] = 0
+                self.pending[w] = 0
+
+        for w in live:
+            for k in range(K):
+                if self.slot_req[w] is None:
+                    break
+                self._emit(w, int(toks_np[k, w]))
+        return bool(self.queue) or any(r is not None for r in self.slot_req)
+
+    def run(self) -> BatchStats:
+        """Drain ALL hosts' queues (keeps stepping while any host works)."""
+        while True:
+            more = self.step()
+            flag = np.asarray(multihost_utils.process_allgather(
+                jnp.asarray([int(more or bool(self.queue))], jnp.int32)))
+            if not flag.any():
+                return self.stats
+
+    def generate_all(self, prompts: Sequence, **kw) -> List[Request]:
+        reqs = [self.submit(p, **kw) for p in prompts]
+        self.run()
+        return reqs

@@ -47,6 +47,38 @@ def assert_finite(x, name: str = "tensor") -> None:
                                  f"in {a.shape}")
 
 
+def weight_stats(value, name: str = "weights", max_rows: int = 4096) -> str:
+    """Weight-statistics probe — the ``analyze_weights`` analogue
+    (transformer.cpp:173-207): per-row dynamic-range summary of a weight
+    tensor (mean half-range ``midf``, mean max-magnitude ``maxf``) plus
+    global min/max.  Accepts a plain array or a QArray (dequantized first);
+    leading layer axes are flattened into rows."""
+    from fastllama_tpu.quant.groupquant import QArray, dequantize
+    if isinstance(value, QArray):
+        value = dequantize(value, np.float32)
+    a = np.asarray(value, np.float32)
+    rows = a.reshape(-1, a.shape[-1]) if a.ndim > 1 else a.reshape(1, -1)
+    if rows.shape[0] > max_rows:                 # sample evenly, stay cheap
+        rows = rows[:: rows.shape[0] // max_rows + 1]
+    rmin = rows.min(axis=1)
+    rmax = rows.max(axis=1)
+    midf = float(np.mean((rmax - rmin) / 2))
+    maxf = float(np.mean(np.maximum(np.abs(rmax), np.abs(rmin))))
+    return (f"{name} shape={tuple(np.shape(a))} rows={rows.shape[0]} "
+            f"midf={midf:.5f} maxf={maxf:.5f} "
+            f"min={float(a.min()):.4f} max={float(a.max()):.4f}")
+
+
+def params_stats(params, print_fn=print) -> None:
+    """Run :func:`weight_stats` over every LlamaParams leaf (the full-model
+    numerics-chasing sweep the reference runs on attn_q only)."""
+    import dataclasses
+    for f in dataclasses.fields(params):
+        v = getattr(params, f.name)
+        if v is not None:
+            print_fn(weight_stats(v, name=f.name))
+
+
 def compare(a, b, name: str = "", rtol: float = 1e-5) -> str:
     """Side-by-side diff summary (the test pattern of x86_simd.cpp:1923-1951)."""
     av = np.asarray(a, np.float32)

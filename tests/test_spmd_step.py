@@ -158,3 +158,108 @@ def test_batched_engine_spmd_kernels_matches_default(tmp_path):
     got = [r.output_tokens for r in spmd.generate_all(
         prompts, max_new_tokens=8, temperature=0.0, stop_tokens=())]
     assert got == want
+
+
+def test_batched_engine_spmd_pallas_interpret_matches_default(tmp_path):
+    """spmd_kernels + pallas_interpret: the fused kernels (interpret mode)
+    run inside shard_map at the ENGINE level — dims sized so the kernels
+    actually engage per shard (O_local % 128 == 0, hs % 8 == 0)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    from fastllama_tpu.config import EngineConfig
+    from fastllama_tpu.loaders.registry import FileType
+    from fastllama_tpu.runtime.batching import BatchedEngine
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    cfg = ModelConfig(dim=256, hidden_dim=256, n_layers=2, n_heads=8,
+                      n_kv_heads=8, vocab_size=512, max_seq_len=64,
+                      group_size=16)
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=cfg)
+    prompts = ["the cat sat", "a big dog"]
+
+    base = BatchedEngine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=2,
+                     compute_dtype="float32"),
+        decode_chunk=4)
+    want = [r.output_tokens for r in base.generate_all(
+        prompts, max_new_tokens=6, temperature=0.0, stop_tokens=())]
+
+    spmd = BatchedEngine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=2,
+                     compute_dtype="float32", mesh="data=1,model=2",
+                     spmd_kernels=True, pallas_interpret=True),
+        decode_chunk=4)
+    assert spmd._spmd and spmd.ec.use_pallas
+    assert spmd._attn_bidx is not None and spmd._mm_idx is not None
+    got = [r.output_tokens for r in spmd.generate_all(
+        prompts, max_new_tokens=6, temperature=0.0, stop_tokens=())]
+    assert got == want
+
+
+def test_single_engine_spmd_pallas_interpret_matches_default(tmp_path):
+    """Single-stream Engine under spmd_kernels: prefill via
+    spmd_prefill_many(N=1), decode via spmd_decode_step(B=1), fused
+    interpret-mode kernels per shard."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    from fastllama_tpu.config import EngineConfig
+    from fastllama_tpu.loaders.registry import FileType
+    from fastllama_tpu.runtime.engine import Engine
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    cfg = ModelConfig(dim=256, hidden_dim=256, n_layers=2, n_heads=8,
+                      n_kv_heads=8, vocab_size=512, max_seq_len=64,
+                      group_size=16)
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=cfg)
+
+    base = Engine.load(ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+                       EngineConfig(max_seq_len=64, compute_dtype="float32"))
+    want, _ = base.generate("the cat sat", max_new_tokens=6,
+                            temperature=0.0, stop_tokens=(), decode_chunk=3)
+
+    spmd = Engine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, compute_dtype="float32",
+                     mesh="data=1,model=2", spmd_kernels=True,
+                     pallas_interpret=True))
+    assert spmd._spmd and spmd._sp_attn_bidx is not None
+    got, _ = spmd.generate("the cat sat", max_new_tokens=6,
+                           temperature=0.0, stop_tokens=(), decode_chunk=3)
+    assert got == want
+
+
+def test_batched_engine_spmd_int8kv_matches_default(tmp_path):
+    """spmd_kernels with the int8 KV cache: quantized per-row scales shard
+    over the model axis and dequantize inside the shard_map body."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    from fastllama_tpu.config import EngineConfig
+    from fastllama_tpu.loaders.registry import FileType
+    from fastllama_tpu.runtime.batching import BatchedEngine
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    cfg = ModelConfig(dim=128, hidden_dim=256, n_layers=2, n_heads=8,
+                      n_kv_heads=4, vocab_size=512, max_seq_len=64,
+                      group_size=16)
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=cfg)
+    prompts = ["the cat sat", "a big dog"]
+
+    base = BatchedEngine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=2,
+                     compute_dtype="float32", kv_dtype="int8"),
+        decode_chunk=4)
+    want = [r.output_tokens for r in base.generate_all(
+        prompts, max_new_tokens=6, temperature=0.0, stop_tokens=())]
+
+    spmd = BatchedEngine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=2,
+                     compute_dtype="float32", kv_dtype="int8",
+                     mesh="data=1,model=2", spmd_kernels=True),
+        decode_chunk=4)
+    got = [r.output_tokens for r in spmd.generate_all(
+        prompts, max_new_tokens=6, temperature=0.0, stop_tokens=())]
+    assert got == want

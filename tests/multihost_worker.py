@@ -1,0 +1,51 @@
+"""Subprocess worker for the 2-process multi-host serving test.
+
+Usage: python tests/multihost_worker.py <rank> <nprocs> <port> <ckpt> <tok>
+       <outfile>
+
+Each rank serves its OWN prompts through MultiHostEngine (per-host admission
+over the 'data' axis, TP over 'model') and writes its outputs as JSON.
+"""
+import json
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+PROMPTS = {
+    0: ["the cat sat", "a big dog ran"],
+    1: ["one two three", "hello there world"],
+}
+
+
+def main() -> None:
+    rank, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    ckpt, tokp, outfile = sys.argv[4], sys.argv[5], sys.argv[6]
+    jax.distributed.initialize(f"localhost:{port}", num_processes=n,
+                               process_id=rank)
+    assert jax.process_count() == n
+
+    from fastllama_tpu.config import EngineConfig, QuantType
+    from fastllama_tpu.loaders.registry import FileType
+    from fastllama_tpu.runtime.multihost import MultiHostEngine
+
+    eng = MultiHostEngine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=2,
+                     compute_dtype="float32"),
+        decode_chunk=4)
+    reqs = eng.generate_all(PROMPTS[rank], max_new_tokens=6,
+                            temperature=0.0, stop_tokens=())
+    with open(outfile, "w") as f:
+        json.dump({"rank": rank,
+                   "outputs": [r.output_tokens for r in reqs],
+                   "completed": eng.stats.completed}, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Multi-host serving (runtime/multihost.py): single-process protocol test
+plus a REAL 2-process jax.distributed run (CPU emulation, SURVEY §4) — each
+process admits its own prompts into its own slot range; outputs must match
+the single-process BatchedEngine."""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import pytest
+
+from fastllama_tpu.config import EngineConfig, ModelConfig, QuantType
+from fastllama_tpu.loaders.registry import FileType
+
+CFG = ModelConfig(dim=128, hidden_dim=256, n_layers=2, n_heads=8,
+                  n_kv_heads=4, vocab_size=512, max_seq_len=64,
+                  group_size=16)
+
+
+def _reference_outputs(ckpt, tokp, prompts, max_new=6):
+    from fastllama_tpu.runtime.batching import BatchedEngine
+    eng = BatchedEngine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=4,
+                     compute_dtype="float32"),
+        decode_chunk=4)
+    return [r.output_tokens for r in eng.generate_all(
+        prompts, max_new_tokens=max_new, temperature=0.0, stop_tokens=())]
+
+
+def test_multihost_engine_single_process(tmp_path):
+    """MultiHostEngine degenerates to a correct single-process engine
+    (allgather of one host, sink-slot padding, lockstep chunks)."""
+    from fastllama_tpu.runtime.multihost import MultiHostEngine
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=CFG)
+    prompts = ["the cat sat", "a big dog ran", "one two three"]
+    want = _reference_outputs(ckpt, tokp, prompts)
+
+    eng = MultiHostEngine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=2,
+                     compute_dtype="float32", mesh="data=1,model=2"),
+        decode_chunk=4)
+    # 2 serving slots, 3 prompts: exercises queueing + a second admission wave
+    got = [r.output_tokens for r in eng.generate_all(
+        prompts, max_new_tokens=6, temperature=0.0, stop_tokens=())]
+    assert got == want
+    assert eng.stats.completed == 3
+
+
+def test_multihost_two_processes(tmp_path):
+    """Spawn 2 jax.distributed CPU processes (2 virtual devices each,
+    mesh data=2 x model=2); each serves its own prompts; greedy outputs
+    must equal the single-process reference."""
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+    from tests.multihost_worker import PROMPTS
+
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=CFG)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    repo_root = os.path.dirname(os.path.dirname(worker))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs, outs = [], []
+    for rank in range(2):
+        out = str(tmp_path / f"rank{rank}.json")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, str(rank), "2", str(port),
+             ckpt, tokp, out],
+            env=env, cwd=os.path.dirname(os.path.dirname(worker)),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    logs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+
+    results = [json.load(open(o)) for o in outs]
+    want = _reference_outputs(ckpt, tokp, PROMPTS[0] + PROMPTS[1])
+    got = results[0]["outputs"] + results[1]["outputs"]
+    assert got == want
+    assert results[0]["completed"] == results[1]["completed"] == 2

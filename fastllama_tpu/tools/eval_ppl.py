@@ -52,6 +52,76 @@ def evaluate(engine, token_ids: List[int], window: int = 512) -> float:
     return math.exp(total_nll / max(total_n, 1))
 
 
+def evaluate_decode(bengine, token_ids: List[int], window: int = 0,
+                    step_chunk: int = 64) -> float:
+    """Teacher-forced perplexity through the BatchedEngine's OWN decode step
+    — the exact serving configuration (fused kernels, int8 KV cache, batched
+    slots), unlike :func:`evaluate` which scores the prefill math.
+
+    Windows of ``window`` tokens are packed ``B`` at a time into the slot
+    batch; every position t feeds token[t] through ``decode_step`` at
+    pos=t (writing its K/V row) and scores token[t+1] from the returned
+    logits.  NLL is computed on device; only (K, B) scalars cross the host
+    boundary per chunk.
+    """
+    from fastllama_tpu.models.batched import BatchedKVCache, decode_step
+
+    cfg = bengine.config
+    window = min(window or cfg.max_seq_len, cfg.max_seq_len)
+    B = bengine.B
+    mm, mi, ab = bengine._mm, bengine._mm_idx, bengine._attn_bidx
+    cdt = bengine._cdt
+
+    wins = [token_ids[s:s + window]
+            for s in range(0, max(len(token_ids) - 1, 1), window - 1)]
+    wins = [w for w in wins if len(w) >= 2]
+    if not wins:
+        return float("nan")
+
+    @jax.jit
+    def chunk_fn(params, cache, toks, tgts, pos0):
+        """toks/tgts (K, B); pos0 (B,).  Returns per-step NLL (K, B)."""
+        def body(carry, inp):
+            pos, cache = carry
+            tok, tgt = inp
+            lg, cache = decode_step(cfg, params, tok, pos, cache,
+                                    mm=mm, mm_idx=mi, attn_bidx=ab,
+                                    compute_dtype=cdt)
+            lp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(lp, tgt[:, None], axis=1)[:, 0]
+            pos = jnp.minimum(pos + 1, cfg.max_seq_len - 1)
+            return (pos, cache), nll
+
+        (pos, cache), nlls = jax.lax.scan(body, (pos0, cache), (toks, tgts))
+        return nlls, cache
+
+    total_nll, total_n = 0.0, 0
+    for g in range(0, len(wins), B):
+        grp = wins[g:g + B]
+        T = max(len(w) for w in grp)
+        toks = np.zeros((B, T), np.int32)
+        valid = np.zeros((B, T - 1), bool)
+        for i, w in enumerate(grp):
+            toks[i, :len(w)] = w
+            valid[i, :len(w) - 1] = True
+        cache = BatchedKVCache.create(cfg, B, dtype=bengine.kv_dtype)
+        inp, tgt = toks[:, :-1].T, toks[:, 1:].T          # (T-1, B)
+        pos = np.zeros(B, np.int32)
+        for s in range(0, T - 1, step_chunk):
+            k = min(step_chunk, T - 1 - s)
+            ip = np.zeros((step_chunk, B), np.int32)
+            tp = np.zeros((step_chunk, B), np.int32)
+            ip[:k], tp[:k] = inp[s:s + k], tgt[s:s + k]
+            nlls, cache = chunk_fn(bengine.params, cache, jnp.asarray(ip),
+                                   jnp.asarray(tp), jnp.asarray(pos))
+            nlls = np.asarray(nlls)[:k]                   # (k, B)
+            m = valid[:, s:s + k].T
+            total_nll += float(nlls[m].sum())
+            total_n += int(m.sum())
+            pos = np.minimum(pos + step_chunk, cfg.max_seq_len - 1)
+    return math.exp(total_nll / max(total_n, 1))
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="fastllama-eval-ppl", description=__doc__)
     p.add_argument("-c", "--checkpoint", required=True)
@@ -61,9 +131,19 @@ def main(argv=None) -> int:
                    help="comma-separated list: int8,int16,int4,none")
     p.add_argument("--window", type=int, default=512)
     p.add_argument("--max-chars", type=int, default=20000)
+    p.add_argument("--engine", choices=("single", "batched"),
+                   default="single",
+                   help="'batched' scores the SERVING path (BatchedEngine "
+                        "decode step, per-slot cache, fused kernels)")
+    p.add_argument("--kv", default="float32",
+                   help="KV-cache dtype for --engine batched "
+                        "(float32/bfloat16/int8)")
+    p.add_argument("--batch", type=int, default=8,
+                   help="window slots per device call (--engine batched)")
     args = p.parse_args(argv)
 
     from fastllama_tpu.config import EngineConfig, QuantType
+    from fastllama_tpu.runtime.batching import BatchedEngine
     from fastllama_tpu.runtime.engine import Engine
 
     with open(args.file, encoding="utf-8") as f:
@@ -72,10 +152,18 @@ def main(argv=None) -> int:
     results = {}
     for qname in args.quant.split(","):
         qt = QuantType.parse(qname)
-        eng = Engine.load(args.checkpoint, args.tokenizer, qtype=qt,
-                          engine_config=EngineConfig())
-        toks = eng.tokenizer.encode(text, add_bos=True)
-        ppl = evaluate(eng, toks, args.window)
+        if args.engine == "batched":
+            eng = BatchedEngine.load(
+                args.checkpoint, args.tokenizer, qtype=qt,
+                engine_config=EngineConfig(kv_dtype=args.kv,
+                                           max_batch_size=args.batch))
+            toks = eng.tokenizer.encode(text, add_bos=True)
+            ppl = evaluate_decode(eng, toks, args.window)
+        else:
+            eng = Engine.load(args.checkpoint, args.tokenizer, qtype=qt,
+                              engine_config=EngineConfig())
+            toks = eng.tokenizer.encode(text, add_bos=True)
+            ppl = evaluate(eng, toks, args.window)
         results[qname] = ppl
         print(f"{qname:>6}: ppl = {ppl:.4f}  ({len(toks)} tokens)")
     if "none" in results:

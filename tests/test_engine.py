@@ -213,3 +213,37 @@ def test_cli_serve_with_mesh(tmp_path, capsys):
                    "-n", "4", "-t", "0", "--max-seq-len", "64"])
     assert rc == 0
     assert capsys.readouterr().out.count("ttft=") == 2
+
+
+def test_eval_ppl_decode_path_matches_prefill(tmp_path):
+    """evaluate_decode scores through the BatchedEngine's own decode step;
+    on fp32 KV the teacher-forced decode math must agree with the prefill
+    evaluate() (same model, same windows), and the int8-KV serving config
+    must stay close — the accuracy gate for the path that actually serves."""
+    import math as _math
+    from fastllama_tpu.config import EngineConfig
+    from fastllama_tpu.runtime.batching import BatchedEngine
+    from fastllama_tpu.tools.eval_ppl import evaluate, evaluate_decode
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path))
+    ids = list(range(2, 120))
+
+    ef = Engine.load(ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+                     EngineConfig(max_seq_len=64, compute_dtype="float32"))
+    p_prefill = evaluate(ef, ids, window=32)
+
+    be = BatchedEngine.load(ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+                            EngineConfig(max_seq_len=64, max_batch_size=2,
+                                         compute_dtype="float32"))
+    p_decode = evaluate_decode(be, ids, window=32, step_chunk=16)
+    assert abs(_math.log(p_decode) - _math.log(p_prefill)) < 1e-3
+
+    be8 = BatchedEngine.load(ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+                             EngineConfig(max_seq_len=64, max_batch_size=2,
+                                          compute_dtype="float32",
+                                          kv_dtype="int8"))
+    p_kv8 = evaluate_decode(be8, ids, window=32, step_chunk=16)
+    assert 1.0 < p_kv8 < 1e7
+    assert abs(_math.log(p_kv8) - _math.log(p_prefill)) < 0.1 * abs(
+        _math.log(p_prefill)) + 0.1

@@ -52,7 +52,8 @@ BASELINE_TPS = {"7b": 25.0, "1b": 155.0, "110m": 440.0}  # reference README.md:9
 def bench_single(cfg, params, n_tokens, chunk, prompt):
     """Single-stream decode tok/s (the reference's own benchmark shape)."""
     eng = Engine(cfg, params, Tokenizer().finalize(),
-                 EngineConfig(max_seq_len=1024, kv_dtype="bfloat16"))
+                 EngineConfig(max_seq_len=cfg.max_seq_len,
+                              kv_dtype="bfloat16"))
     # warmup: compiles prefill + decode chunk and pays the tunnel's
     # first-execution overhead on every executable
     t0 = time.perf_counter()
@@ -77,7 +78,8 @@ def bench_batched(cfg, params, n_tokens, chunk, prompt, batch, kv_dtype):
     from fastllama_tpu.runtime.batching import BatchedEngine
 
     eng = BatchedEngine(cfg, params, Tokenizer().finalize(),
-                        EngineConfig(max_seq_len=1024, kv_dtype=kv_dtype,
+                        EngineConfig(max_seq_len=cfg.max_seq_len,
+                                     kv_dtype=kv_dtype,
                                      max_batch_size=batch),
                         decode_chunk=chunk)
     # warmup: compile prefill + one full-size chunk
@@ -115,6 +117,11 @@ def main():
     kv_dtype = os.environ.get("BENCH_KV", "int8")
     quant = os.environ.get("BENCH_QUANT", "int8")
     cfg = CONFIGS[name]
+    # serving-slot context class (NEXT.md #8): shorter slots fit more of
+    # them in HBM — e.g. 7b int8+kv8 B=32 fits at S=768 (OOM at 1024)
+    seq = int(os.environ.get("BENCH_SEQ", "1024"))
+    if seq != cfg.max_seq_len:
+        cfg = cfg.replace(max_seq_len=seq)
     if quant != "int8":
         cfg = cfg.replace(quant_type=QuantType.parse(quant))
     if cfg.quant_type == QuantType.INT4 and cfg.hidden_dim % 512:

@@ -61,6 +61,27 @@ def make_mesh(spec: str = "", devices=None) -> Mesh:
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+KV_AXIS = "kv"
+REP_AXIS = "rep"
+
+
+def gqa_submesh(mesh: Mesh, n_kv_heads: int) -> Mesh:
+    """A view of ``mesh`` whose 'model' axis is split into ('kv', 'rep') for
+    GQA over-sharding (model > n_kv_heads): each KV head lives on the
+    ``rep = model/n_kv`` devices that hold its query-head group — groupwise
+    replication instead of full replication (the reference's analogous
+    constraint is n_heads % n_kv_heads == 0, transformer.cpp:215-218).
+    Same devices, same order, so shardings from both views compose under
+    one jit."""
+    mp = mesh.shape[MODEL_AXIS]
+    if mp % n_kv_heads:
+        raise ValueError(f"model axis {mp} not a multiple of n_kv_heads "
+                         f"{n_kv_heads}")
+    devs = mesh.devices.reshape(mesh.shape[DATA_AXIS], n_kv_heads,
+                                mp // n_kv_heads)
+    return Mesh(devs, (DATA_AXIS, KV_AXIS, REP_AXIS))
+
+
 def _fit_spec(mesh: Mesh, shape, spec: P) -> P:
     """Drop sharding on axes whose extent isn't divisible by the mesh axis
     (used for the small per-group scale arrays; the data arrays themselves
@@ -114,15 +135,20 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh, params: LlamaParams
     rep2 = P(None, None)
 
     kv_ok = cfg.n_kv_heads % mp == 0
-    kv_col = col if kv_ok else P(None, None, None)  # replicate KV heads if
-    # they don't divide (GQA over-sharding handled in a later round)
+    if kv_ok:
+        kv_mesh, kv_col = mesh, col
+    else:
+        # GQA over-sharding (mp > n_kv, mp % n_kv == 0): shard KV heads over
+        # the 'kv' sub-axis, replicate within each query-head group ('rep')
+        kv_mesh = gqa_submesh(mesh, cfg.n_kv_heads)
+        kv_col = P(None, None, KV_AXIS)
 
     return LlamaParams(
         embedding=_leaf(mesh, params.embedding, vocab),
         attn_norm=NamedSharding(mesh, rep2),
         wq=_leaf(mesh, params.wq, col),
-        wk=_leaf(mesh, params.wk, kv_col),
-        wv=_leaf(mesh, params.wv, kv_col),
+        wk=_leaf(kv_mesh, params.wk, kv_col),
+        wv=_leaf(kv_mesh, params.wv, kv_col),
         wo=_leaf(mesh, params.wo, row),
         ffn_norm=NamedSharding(mesh, rep2),
         w1=_leaf(mesh, params.w1, col),
@@ -133,29 +159,41 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh, params: LlamaParams
     )
 
 
+def _head_axis(cfg: ModelConfig, mesh: Mesh):
+    """(mesh, axis-name) for sharding the kv-heads axis: 'model' when heads
+    divide, the 'kv' sub-axis (groupwise replication) when over-sharded,
+    replicated otherwise."""
+    mp = mesh.shape[MODEL_AXIS]
+    if cfg.n_kv_heads % mp == 0:
+        return mesh, MODEL_AXIS
+    if mp % cfg.n_kv_heads == 0:
+        return gqa_submesh(mesh, cfg.n_kv_heads), KV_AXIS
+    return mesh, None
+
+
 def cache_sharding(cfg: ModelConfig, mesh: Mesh, batched: bool = False) -> KVCache:
     """KV cache sharding: kv-heads over 'model' (transformer.cpp:366-374
-    analogue); leading batch axis (if any) over 'data'."""
-    mp = mesh.shape[MODEL_AXIS]
-    head_ax = MODEL_AXIS if cfg.n_kv_heads % mp == 0 else None
+    analogue; 'kv' sub-axis under GQA over-sharding); leading batch axis
+    (if any) over 'data'."""
+    hmesh, head_ax = _head_axis(cfg, mesh)
     if batched:
         spec = P(DATA_AXIS, None, head_ax, None, None)
     else:
         spec = P(None, head_ax, None, None)
-    s = NamedSharding(mesh, spec)
+    s = NamedSharding(hmesh, spec)
     return KVCache(s, s)
 
 
 def slot_cache_sharding(cfg: ModelConfig, mesh: Mesh, batch_size: int):
     """Shardings for the continuous-batching cache: slots over 'data' when
-    they divide, kv-heads over 'model'.  Returns (data_sharding [5D
-    (L,B,n_kv,S,hs)], scale_sharding [4D (L,B,n_kv,S), int8 caches])."""
-    mp = mesh.shape[MODEL_AXIS]
+    they divide, kv-heads over 'model' (or the 'kv' sub-axis for GQA
+    over-sharding).  Returns (data_sharding [5D (L,B,n_kv,S,hs)],
+    scale_sharding [4D (L,B,n_kv,S), int8 caches])."""
     dp = mesh.shape[DATA_AXIS]
-    head_ax = MODEL_AXIS if cfg.n_kv_heads % mp == 0 else None
+    hmesh, head_ax = _head_axis(cfg, mesh)
     slot_ax = DATA_AXIS if dp > 1 and batch_size % dp == 0 else None
-    return (NamedSharding(mesh, P(None, slot_ax, head_ax, None, None)),
-            NamedSharding(mesh, P(None, slot_ax, head_ax, None)))
+    return (NamedSharding(hmesh, P(None, slot_ax, head_ax, None, None)),
+            NamedSharding(hmesh, P(None, slot_ax, head_ax, None)))
 
 
 def pad_hidden_for_sharding(cfg: ModelConfig, weights: dict, model_parallel: int

@@ -1,0 +1,267 @@
+"""Speculative decoding — breaking the weight-streaming bound.
+
+Single-stream decode on TPU is HBM-bound: every token streams all weights
+once (~6.9 GB/step for 7B INT8), capping throughput near bandwidth/model
+bytes regardless of how fast the kernels are.  Speculation is the standard
+way past it: draft D candidate tokens cheaply, then verify them with ONE
+target forward over D rows — the verify matmuls read the weights once for D
+tokens, so each accepted token costs 1/D of a weight sweep plus the draft.
+
+Two drafters:
+
+* **Model draft** (:class:`SpeculativeEngine` with ``draft=``): a small
+  LLaMA (e.g. stories110M/TinyLlama-class) decodes D tokens autoregressively
+  on its own KV cache; both caches and both scans live in ONE jitted round.
+* **Prompt-lookup / n-gram draft** (``draft=None``): drafts are copied from
+  the last occurrence of the current n-gram in the token history (prompt +
+  generated) — free (host-side), no second model, and very effective on
+  self-repetitive or quote-heavy output.
+
+Scheme (greedy; temperature > 0 falls back to the plain engine) with
+verify width D:
+
+  round: draft scan runs D steps feeding x_0=pending, x_i=y_{i-1} (writes
+  draft K/V rows pos..pos+D-1; the last step exists only to write x_{D-1}'s
+  row), target forward verifies the batch [pending, y_0..y_{D-2}] at
+  positions pos..pos+D-1 giving g_0..g_{D-1}; the accepted prefix length
+  a = |{i : y_j == g_j for all j <= i}| emits tokens g_0..g_a (1..D per
+  round) and both caches/positions advance by a+1 — rows past pos are
+  stale and masked by position, exactly like the engines' pending-token
+  invariant (runtime/batching.py docstring).
+
+Correctness property (tested): output ALWAYS equals plain greedy decode,
+for ANY draft — acceptance only changes speed.
+
+The reference has no analogue (single-stream, one forward per token,
+transformer.cpp:92-101); this is a TPU-native addition per SURVEY §7's
+perf mandate.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastllama_tpu.models.llama import KVCache, forward
+from fastllama_tpu.runtime.engine import Engine, GenerationStats
+
+
+@dataclasses.dataclass
+class SpecStats(GenerationStats):
+    rounds: int = 0
+    drafted: int = 0
+    accepted: int = 0
+
+    @property
+    def acceptance(self) -> float:
+        return self.accepted / self.drafted if self.drafted else 0.0
+
+
+def _ngram_draft(history: np.ndarray, n: int, width: int) -> np.ndarray:
+    """Prompt-lookup drafting: find the most recent earlier occurrence of
+    the trailing ``n``-gram and propose the ``width`` tokens that followed
+    it.  Returns (width,) int32; zeros when no match (they'll just be
+    rejected)."""
+    L = len(history)
+    if L < n + 1:
+        return np.zeros(width, np.int32)
+    tail = history[L - n:]
+    # scan candidates right-to-left, newest match wins
+    for s in range(L - n - 1, -1, -1):
+        if np.array_equal(history[s:s + n], tail):
+            seg = history[s + n:s + n + width]
+            out = np.zeros(width, np.int32)
+            out[:len(seg)] = seg
+            return out
+    return np.zeros(width, np.int32)
+
+
+class SpeculativeEngine:
+    """Greedy speculative decoding over a target :class:`Engine`.
+
+    ``draft``: a second, smaller Engine sharing the tokenizer/vocab; None
+    selects the draft-free n-gram drafter.  ``width``: tokens verified per
+    round (D); emits 1..D tokens per round."""
+
+    def __init__(self, engine: Engine, draft: Optional[Engine] = None,
+                 width: int = 8, ngram: int = 3):
+        if width < 2:
+            raise ValueError("speculation needs width >= 2")
+        self.engine = engine
+        self.draft = draft
+        self.width = width
+        self.ngram = ngram
+        if draft is not None:
+            if draft.config.vocab_size != engine.config.vocab_size:
+                raise ValueError("draft vocab must match the target's")
+        self._round_fns = {}
+        self._verify_fns = {}
+
+    # -- compiled rounds -----------------------------------------------------
+
+    def _get_round(self, s_bound: int = 0):
+        """Model-draft round: D draft decode steps + one D-row target verify
+        + acceptance, all in one device call."""
+        key_ = s_bound
+        if key_ not in self._round_fns:
+            eng, dr, D = self.engine, self.draft, self.width
+            tcfg, dcfg = eng.config, dr.config
+            tai = eng._attn_idx
+            if s_bound and eng._attn_idx_factory is not None:
+                tai = eng._attn_idx_factory(s_bound)
+            dai = dr._attn_idx
+            if s_bound and dr._attn_idx_factory is not None:
+                dai = dr._attn_idx_factory(min(s_bound, dcfg.max_seq_len))
+
+            def round_fn(tp, dp, tcache, dcache, pending, pos):
+                def dstep(carry, _):
+                    tok, p, dcache = carry
+                    lg, dcache = forward(
+                        dcfg, dp, tok[None], p, dcache, mm=dr._mm,
+                        attn=dr._attn, mm_idx=dr._mm_idx, attn_idx=dai,
+                        compute_dtype=dr._cdt)
+                    nxt = jnp.argmax(lg[0]).astype(jnp.int32)
+                    return (nxt, p + 1, dcache), nxt
+
+                (_, _, dcache), ys = jax.lax.scan(
+                    dstep, (pending, pos, dcache), length=D)   # (D,)
+                batch = jnp.concatenate([pending[None], ys[:D - 1]])
+                lg, tcache = forward(
+                    tcfg, tp, batch, pos, tcache, mm=eng._mm, attn=eng._attn,
+                    mm_idx=eng._mm_idx, attn_idx=tai, compute_dtype=eng._cdt)
+                g = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # (D,)
+                ok = (ys[:D - 1] == g[:D - 1]).astype(jnp.int32)
+                a = jnp.sum(jnp.cumprod(ok))                   # 0..D-1
+                return g, a, tcache, dcache
+
+            self._round_fns[key_] = jax.jit(round_fn, donate_argnums=(2, 3))
+        return self._round_fns[key_]
+
+    def _get_verify(self, s_bound: int = 0):
+        """Draft-free round: verify a host-provided candidate batch."""
+        key_ = s_bound
+        if key_ not in self._verify_fns:
+            eng = self.engine
+            tcfg = eng.config
+            tai = eng._attn_idx
+            if s_bound and eng._attn_idx_factory is not None:
+                tai = eng._attn_idx_factory(s_bound)
+
+            def verify_fn(tp, tcache, batch, pos):
+                lg, tcache = forward(
+                    tcfg, tp, batch, pos, tcache, mm=eng._mm, attn=eng._attn,
+                    mm_idx=eng._mm_idx, attn_idx=tai, compute_dtype=eng._cdt)
+                return jnp.argmax(lg, axis=-1).astype(jnp.int32), tcache
+
+            self._verify_fns[key_] = jax.jit(verify_fn, donate_argnums=(1,))
+        return self._verify_fns[key_]
+
+    # -- generation ----------------------------------------------------------
+
+    def generate(self, prompt, max_new_tokens: int = 512,
+                 stop_tokens: Optional[Sequence[int]] = None,
+                 callback=None) -> Tuple[List[int], SpecStats]:
+        """Greedy generation; same contract as Engine.generate(temp=0)."""
+        eng, D = self.engine, self.width
+        cfg = eng.config
+        tokens = (eng.encode(prompt) if isinstance(prompt, str)
+                  else list(prompt))
+        if not tokens:
+            raise ValueError("empty prompt")
+        if len(tokens) >= cfg.max_seq_len:
+            raise ValueError("prompt too long")
+        if stop_tokens is None:
+            stop_tokens = (0, eng.tokenizer.eos_token_id)
+        stop_set = set(int(t) for t in stop_tokens)
+        max_new_tokens = min(max_new_tokens, cfg.max_seq_len - len(tokens))
+        stats = SpecStats(prompt_tokens=len(tokens))
+
+        from fastllama_tpu.loaders.tokenizer import StreamDecoder
+        stream = StreamDecoder(eng.tokenizer) if callback else None
+        out: List[int] = []
+        prev = tokens[-1]
+
+        def emit(tok: int) -> bool:
+            nonlocal prev
+            out.append(tok)
+            ok = True
+            if callback is not None and tok not in stop_set:
+                ok = callback(stream.piece(tok, prev), tok) is not False
+            prev = tok
+            return ok
+
+        # prefill target (and the draft model on the same prompt)
+        t0 = time.perf_counter()
+        bucket = eng._bucket(len(tokens))
+        padded = np.zeros(bucket, np.int32)
+        padded[:len(tokens)] = tokens
+        tcache = eng.new_cache()
+        last_logits, tcache = eng._get_prefill(bucket)(
+            eng.params, jnp.asarray(padded), tcache, len(tokens), 0)
+        pending = int(np.asarray(jnp.argmax(last_logits)))
+        dcache = None
+        if self.draft is not None:
+            dr = self.draft
+            dbucket = dr._bucket(len(tokens))
+            dpad = np.zeros(dbucket, np.int32)
+            dpad[:len(tokens)] = tokens
+            dcache = dr.new_cache()
+            _, dcache = dr._get_prefill(dbucket)(
+                dr.params, jnp.asarray(dpad), dcache, len(tokens), 0)
+        pos = len(tokens)
+        stats.prefill_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        if not emit(pending) or pending in stop_set:
+            stats.output_tokens = len(out)
+            stats.decode_s = time.perf_counter() - t0
+            return out, stats
+
+        history = np.asarray(tokens + [pending], np.int32)
+        from fastllama_tpu.ops.pallas.flash_decode import round_bound
+        stop = False
+        seq_cap = cfg.max_seq_len if self.draft is None else \
+            min(cfg.max_seq_len, self.draft.config.max_seq_len)
+        while not stop and len(out) < max_new_tokens and pos + D < seq_cap:
+            sb = (round_bound(pos + D, cfg.max_seq_len)
+                  if eng._attn_idx_factory else 0)
+            if self.draft is not None:
+                fn = self._get_round(sb)
+                g, a, tcache, dcache = fn(
+                    eng.params, self.draft.params, tcache, dcache,
+                    jnp.asarray(pending, jnp.int32),
+                    jnp.asarray(pos, jnp.int32))
+                g, a = np.asarray(g), int(a)
+            else:
+                drafts = _ngram_draft(history, self.ngram, D - 1)
+                batch = np.concatenate([[pending], drafts]).astype(np.int32)
+                fn = self._get_verify(sb)
+                g, tcache = fn(eng.params, tcache, jnp.asarray(batch),
+                               jnp.asarray(pos, jnp.int32))
+                g = np.asarray(g)
+                ok = (drafts[:D - 1] == g[:D - 1]).astype(np.int32)
+                a = int(np.cumprod(ok).sum())
+
+            stats.rounds += 1
+            stats.drafted += D - 1
+            stats.accepted += a
+            emitted = [int(t) for t in g[:a + 1]]
+            pos += a + 1
+            pending = emitted[-1]
+            history = np.concatenate([history, np.asarray(emitted, np.int32)])
+            for t in emitted:
+                if len(out) >= max_new_tokens:
+                    stop = True
+                    break
+                if not emit(t) or t in stop_set:
+                    stop = True
+                    break
+
+        stats.output_tokens = len(out)
+        stats.decode_s = time.perf_counter() - t0
+        return out, stats

@@ -175,3 +175,48 @@ def test_distributed_single_host_noop():
     assert not distributed.is_multiprocess()
     mesh = distributed.global_mesh(f"data=1,model={min(4, len(jax.devices()))}")
     assert mesh.shape["model"] >= 1
+
+
+def test_gqa_oversharding_groupwise_kv(tmp_path):
+    """model axis > n_kv_heads (TinyLlama-style GQA): KV projections and the
+    cache shard groupwise over the 'kv' sub-axis (each head replicated only
+    within its query-head group) instead of full replication, and engine
+    outputs still match the single-device run."""
+    import jax
+    import numpy as np
+    from fastllama_tpu.config import EngineConfig, ModelConfig, QuantType
+    from fastllama_tpu.loaders.registry import FileType
+    from fastllama_tpu.parallel.sharding import make_mesh, param_shardings
+    from fastllama_tpu.runtime.batching import BatchedEngine
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    cfg = ModelConfig(dim=128, hidden_dim=256, n_layers=2, n_heads=8,
+                      n_kv_heads=2, vocab_size=512, max_seq_len=64,
+                      group_size=16)
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=cfg)
+    prompts = ["the cat sat", "a big dog"]
+
+    base = BatchedEngine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=2,
+                     compute_dtype="float32"), decode_chunk=4)
+    want = [r.output_tokens for r in base.generate_all(
+        prompts, max_new_tokens=6, temperature=0.0, stop_tokens=())]
+
+    eng = BatchedEngine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=2,
+                     compute_dtype="float32", mesh="data=1,model=4"),
+        decode_chunk=4)
+    # the cache's kv-head axis is SHARDED over the 2 kv heads: each device
+    # holds exactly 1 head (groupwise replication across the other axis)
+    shard_shape = eng.cache.k.addressable_shards[0].data.shape
+    assert shard_shape[2] == 1
+    # wk's out-features shard is kv_dim / n_kv (one head's columns)
+    wk_shard = eng.params.wk.data.addressable_shards[0].data.shape
+    assert wk_shard[2] == cfg.kv_dim // cfg.n_kv_heads
+    got = [r.output_tokens for r in eng.generate_all(
+        prompts, max_new_tokens=6, temperature=0.0, stop_tokens=())]
+    assert got == want

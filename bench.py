@@ -111,15 +111,17 @@ def main():
     n_tokens = int(os.environ.get("BENCH_TOKENS", "128"))
     chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     prompt_len = int(os.environ.get("BENCH_PROMPT", "43"))
-    batch = int(os.environ.get("BENCH_BATCH", "24"))
+    # B=48 x S=512 slot class measured 2409 tok/s on v5e (B=24/S=1024: 1561;
+    # B=32/S=768: 1896; B=64/S=384: 825 — HBM-pressure cliff past ~13 GB)
+    batch = int(os.environ.get("BENCH_BATCH", "48"))
     # int8 per-row-quantized KV cache: fits 3x the slots of bf16 (the
     # single-stream run keeps bf16 KV)
     kv_dtype = os.environ.get("BENCH_KV", "int8")
     quant = os.environ.get("BENCH_QUANT", "int8")
     cfg = CONFIGS[name]
     # serving-slot context class (NEXT.md #8): shorter slots fit more of
-    # them in HBM — e.g. 7b int8+kv8 B=32 fits at S=768 (OOM at 1024)
-    seq = int(os.environ.get("BENCH_SEQ", "1024"))
+    # them in HBM — e.g. 7b int8+kv8 B=48 fits at S=512 (OOM at 1024)
+    seq = int(os.environ.get("BENCH_SEQ", "512" if name == "7b" else "1024"))
     if seq != cfg.max_seq_len:
         cfg = cfg.replace(max_seq_len=seq)
     if quant != "int8":
@@ -155,7 +157,7 @@ def main():
             kv_dtype, f"_{kv_dtype}")
         print(json.dumps({
             "metric": f"aggregate_decode_tok_s_{name}_{qname}{kvtag}"
-                      f"_1chip_b{batch}",
+                      f"_1chip_b{batch}_s{cfg.max_seq_len}",
             "value": round(agg, 2),
             "unit": "tok/s",
             "vs_baseline": round(agg / baseline, 3),

@@ -115,6 +115,17 @@ class EngineConfig:
     max_seq_len: Optional[int] = None   # clamp, like transformer.cpp:32
     max_batch_size: int = 1             # decode batch slots
     prefill_buckets: tuple = (32, 64, 128, 256, 512, 1024)
+    # prefix caching (BatchedEngine): admissions whose prompt shares a
+    # block-aligned prefix with a LIVE slot's prompt copy that slot's K/V
+    # rows device-side and prefill only the tail — repeated system prompts
+    # stop paying full prefill.  Copied rows are bit-identical to a fresh
+    # prefill of the same tokens (causal K/V depends only on the prefix).
+    prefix_cache: bool = False
+    # chunked prefill (single-stream engine): prompts longer than this run
+    # as fixed-size blocks through the mid-sequence path, so a long-context
+    # model never compiles (or allocates activations for) a full-window
+    # prefill program.  0 = off (bucketed whole-prompt prefill).
+    prefill_chunk: int = 0
     kv_dtype: str = "float32"           # reference keeps fp32 KV (transformer.cpp:368)
     # bf16 activations/matmuls by default: weight int8 values (<=127) are
     # exact in bf16 and the MXU runs native-speed; parity tests pin float32.

@@ -211,6 +211,110 @@ def prefill_into_slot(cfg: ModelConfig, params: LlamaParams,
     return logits[0].astype(jnp.float32), new_cache
 
 
+def prefill_into_slot_at(cfg: ModelConfig, params: LlamaParams,
+                         tokens: jax.Array, length, slot, start,
+                         cache: BatchedKVCache, *,
+                         mm: Callable = qmatmul,
+                         mm_idx: Optional[Callable] = None,
+                         compute_dtype=jnp.float32
+                         ) -> Tuple[jax.Array, BatchedKVCache]:
+    """Mid-sequence slot prefill: run ``tokens`` (T,) at positions
+    [start, start+T) of slot ``slot``, attending the slot's EXISTING cache
+    rows [0, start) plus the block's own causal K/V — the tail-prefill
+    primitive behind prefix caching (rows [0, start) were copied from a
+    donor slot sharing the prompt prefix).
+
+    ``length``/``slot``/``start`` are traced.  Rows >= length are padding
+    (masked by later steps; the caller must only pad the FINAL block).
+    Returns (last-valid-token logits (vocab,), cache)."""
+    T = tokens.shape[0]
+    hs, n_heads, n_kv = cfg.head_size, cfg.n_heads, cfg.n_kv_heads
+    proj = _make_proj(mm, mm_idx, compute_dtype)
+
+    x = embed_tokens(params.embedding, tokens, compute_dtype)       # (T, dim)
+    positions = start + jnp.arange(T, dtype=jnp.int32)
+    cos, sin = rope_tables(cfg, positions, compute_dtype)
+
+    def scan_fn(x, layer):
+        l, attn_norm_l, ffn_norm_l = layer
+
+        h = rmsnorm(x, attn_norm_l, cfg.norm_eps)
+        q, k, v = _split_qkv(cfg, params, proj, h, l)
+        q = q.reshape(T, n_heads, hs).transpose(1, 0, 2)
+        k = k.reshape(T, n_kv, hs).transpose(1, 0, 2)
+        v = v.reshape(T, n_kv, hs).transpose(1, 0, 2)
+        q = apply_rope_half(q, cos[None], sin[None])
+        k = apply_rope_half(k, cos[None], sin[None])
+
+        # attend the slot's existing rows + this block: place the fresh
+        # rows into a COPY of the layer's slot slice at [start, start+T)
+        # and run position-masked attention at pos=start (the copy is
+        # per-layer scratch, not the carried cache — no aliasing)
+        ck_l, cv_l = _layer_slices(cache, l, compute_dtype)   # (B, n_kv, S, hs)
+        ck_s = jax.lax.dynamic_index_in_dim(ck_l, slot, 0, keepdims=False)
+        cv_s = jax.lax.dynamic_index_in_dim(cv_l, slot, 0, keepdims=False)
+        kk = jax.lax.dynamic_update_slice(          # k is (n_kv, T, hs)
+            ck_s.astype(compute_dtype), k, (0, start, 0))
+        vv = jax.lax.dynamic_update_slice(
+            cv_s.astype(compute_dtype), v, (0, start, 0))
+        o = gqa_attention(q, kk, vv, start)
+        o = o.transpose(1, 0, 2).reshape(T, n_heads * hs)
+        x = x + proj(o, params.wo, l)
+
+        h = rmsnorm(x, ffn_norm_l, cfg.norm_eps)
+        x = x + _ffn(cfg, params, proj, h, l)
+        return x, (k, v)
+
+    xs = (jnp.arange(cfg.n_layers, dtype=jnp.int32),
+          params.attn_norm, params.ffn_norm)
+    x, (ks, vs) = jax.lax.scan(scan_fn, x, xs)      # (L, n_kv, T, hs)
+
+    from fastllama_tpu.quant.groupquant import quantize_rows
+    ck, cv, ksc, vsc = cache.k, cache.v, cache.k_scale, cache.v_scale
+    if cache.quantized:
+        kq, ks_ = quantize_rows(ks)
+        vq, vs_ = quantize_rows(vs)
+        ksc = jax.lax.dynamic_update_slice(
+            ksc, ks_[..., 0][:, None], (0, slot, 0, start))
+        vsc = jax.lax.dynamic_update_slice(
+            vsc, vs_[..., 0][:, None], (0, slot, 0, start))
+    else:
+        kq, vq = ks.astype(ck.dtype), vs.astype(cv.dtype)
+    ck = jax.lax.dynamic_update_slice(ck, kq[:, None], (0, slot, 0, start, 0))
+    cv = jax.lax.dynamic_update_slice(cv, vq[:, None], (0, slot, 0, start, 0))
+    new_cache = BatchedKVCache(ck, cv, ksc, vsc)
+
+    x = rmsnorm(x, params.out_norm, cfg.norm_eps)
+    xl = jax.lax.dynamic_slice_in_dim(x, length - 1, 1, axis=0)
+    logits = mm(xl, params.classifier)
+    return logits[0].astype(jnp.float32), new_cache
+
+
+def copy_slot_prefix(cache: BatchedKVCache, src, dst, n_rows
+                     ) -> BatchedKVCache:
+    """Device-side K/V row copy: slot ``dst`` rows [0, n_rows) :=
+    slot ``src`` rows [0, n_rows) (all layers/heads) — the prefix-cache hit
+    path.  ``src``/``dst``/``n_rows`` are traced; rows are selected by mask
+    so one compiled program serves every prefix length."""
+    S = cache.k.shape[3]
+    keep = (jnp.arange(S, dtype=jnp.int32) < n_rows)      # (S,)
+
+    def blend(arr, row_axis):
+        src_rows = jax.lax.dynamic_index_in_dim(arr, src, 1, keepdims=True)
+        dst_rows = jax.lax.dynamic_index_in_dim(arr, dst, 1, keepdims=True)
+        shape = [1] * arr.ndim
+        shape[row_axis] = S
+        m = keep.reshape(shape)
+        return jax.lax.dynamic_update_slice_in_dim(
+            arr, jnp.where(m, src_rows, dst_rows), dst, axis=1)
+
+    ck = blend(cache.k, 3)
+    cv = blend(cache.v, 3)
+    ksc = blend(cache.k_scale, 3) if cache.quantized else None
+    vsc = blend(cache.v_scale, 3) if cache.quantized else None
+    return BatchedKVCache(ck, cv, ksc, vsc)
+
+
 def prefill_many(cfg: ModelConfig, params: LlamaParams,
                  tokens: jax.Array, lengths: jax.Array, slots: jax.Array,
                  cache: BatchedKVCache, *,

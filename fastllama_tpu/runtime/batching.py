@@ -96,6 +96,8 @@ class BatchStats:
     decode_tokens: int = 0          # tokens produced by decode chunks only
     decode_s: float = 0.0
     prefill_s: float = 0.0
+    prefix_hits: int = 0            # admissions served from the prefix cache
+    prefix_rows_reused: int = 0     # K/V rows copied instead of prefilled
 
     @property
     def aggregate_tps(self) -> float:
@@ -197,7 +199,20 @@ class BatchedEngine:
         self.stats = BatchStats()
         self._next_id = 0
         self._prefill_fns = {}
+        self._tail_fns = {}
         self._chunk_fns = {}
+
+        # prefix cache: (plen, hash(prefix)) -> donor slot; donor rows
+        # [0, plen) are immutable while the donor is live (decode writes at
+        # pos >= plen) and invalidated on slot release (idle-slot decode
+        # clobbers row 0)
+        self._prefix_block = 16
+        self._prefix_index = {}
+        self._slot_prefix_keys = [[] for _ in range(self.B)]
+        self._copy_prefix = None
+        if ec.prefix_cache:
+            from fastllama_tpu.models.batched import copy_slot_prefix
+            self._copy_prefix = jax.jit(copy_slot_prefix, donate_argnums=(0,))
 
         @jax.jit
         def _fold_keys(keys, slots, seeds, ids):
@@ -264,6 +279,51 @@ class BatchedEngine:
             self._prefill_fns[key_] = jax.jit(
                 f, donate_argnums=(4,) if self.ec.donate_cache else ())
         return self._prefill_fns[key_]
+
+    def _get_tail_prefill(self, bucket: int):
+        """Mid-sequence single-slot prefill (the prefix-cache tail path)."""
+        if bucket not in self._tail_fns:
+            cfg, mm, mi, cdt = self.config, self._mm, self._mm_idx, self._cdt
+            from fastllama_tpu.models.batched import prefill_into_slot_at
+
+            def f(params, tokens, length, slot, start, cache, key, temp,
+                  topp):
+                logits, cache = prefill_into_slot_at(
+                    cfg, params, tokens, length, slot, start, cache,
+                    mm=mm, mm_idx=mi, compute_dtype=cdt)
+                tok = sampling.sample_batched(
+                    logits[None], key[None], temp[None], topp[None])[0]
+                return tok, cache
+
+            self._tail_fns[bucket] = jax.jit(
+                f, donate_argnums=(5,) if self.ec.donate_cache else ())
+        return self._tail_fns[bucket]
+
+    # -- prefix cache ----------------------------------------------------------
+
+    def _prefix_register(self, slot: int, prompt: List[int]) -> None:
+        BL = self._prefix_block
+        for l in range(BL, len(prompt) + 1, BL):
+            key = (l, tuple(prompt[:l]))     # exact tokens: no hash collisions
+            self._prefix_index[key] = slot
+            self._slot_prefix_keys[slot].append(key)
+
+    def _prefix_release(self, slot: int) -> None:
+        for key in self._slot_prefix_keys[slot]:
+            if self._prefix_index.get(key) == slot:
+                del self._prefix_index[key]
+        self._slot_prefix_keys[slot] = []
+
+    def _prefix_lookup(self, prompt: List[int]):
+        """Longest block-aligned live prefix strictly shorter than the
+        prompt (>= 1 tail token must remain to produce first logits)."""
+        BL = self._prefix_block
+        top = (len(prompt) - 1) // BL * BL
+        for l in range(top, BL - 1, -BL):
+            slot = self._prefix_index.get((l, tuple(prompt[:l])))
+            if slot is not None:
+                return slot, l
+        return None, 0
 
     def _get_chunk(self, n_steps: int, greedy_only: bool, s_bound: int = 0):
         key_ = (n_steps, greedy_only, s_bound)
@@ -364,7 +424,10 @@ class BatchedEngine:
             req.finish_s = time.perf_counter()
             self.slot_req[slot] = None
             # park the idle slot at position 0: under the flash-decode
-            # kernel an idle slot then streams one KV block, not max_seq
+            # kernel an idle slot then streams one KV block, not max_seq.
+            # Its rows are no longer stable (idle decode writes row 0), so
+            # drop any prefix-cache entries donated by this slot.
+            self._prefix_release(slot)
             self.pos[slot] = 0
             self.pending[slot] = 0
             self.stats.completed += 1
@@ -378,6 +441,21 @@ class BatchedEngine:
         if take == 0:
             return
         items = [(self.queue.popleft(), slot) for slot in free[:take]]
+
+        # prefix-cache hits first: copy the donor's K/V rows device-side and
+        # prefill only the tail (one call per hit; the tail is short)
+        if self._copy_prefix is not None:
+            rest = []
+            for req, slot in items:
+                donor, plen = self._prefix_lookup(req.prompt_tokens)
+                if donor is not None:
+                    self._admit_prefix_hit(req, slot, donor, plen)
+                else:
+                    rest.append((req, slot))
+            items = rest
+            if not items:
+                return
+
         groups = {}
         for req, slot in items:
             groups.setdefault(self._bucket(len(req.prompt_tokens)),
@@ -432,7 +510,47 @@ class BatchedEngine:
                 self.pending[slot] = int(firsts[i])
                 req._prev_token = req.prompt_tokens[-1]
                 self.stats.total_prompt_tokens += int(lens[i])
+                if self._copy_prefix is not None:
+                    self._prefix_register(slot, req.prompt_tokens)
                 self._emit(slot, int(firsts[i]), from_decode=False)
+
+    def _admit_prefix_hit(self, req: Request, slot: int, donor: int,
+                          plen: int) -> None:
+        """Admission via prefix cache: device-copy donor rows [0, plen) into
+        ``slot``, then prefill only the prompt tail at start=plen."""
+        t0 = time.perf_counter()
+        self.cache = self._copy_prefix(
+            self.cache, jnp.asarray(donor, jnp.int32),
+            jnp.asarray(slot, jnp.int32), jnp.asarray(plen, jnp.int32))
+        tail = req.prompt_tokens[plen:]
+        bucket = self._bucket(len(tail))
+        padded = np.zeros(bucket, np.int32)
+        padded[:len(tail)] = tail
+        fn = self._get_tail_prefill(bucket)
+        first, self.cache = fn(
+            self.params, jnp.asarray(padded),
+            jnp.asarray(len(tail), jnp.int32),
+            jnp.asarray(slot, jnp.int32), jnp.asarray(plen, jnp.int32),
+            self.cache, jnp.asarray(host_prng_key(req.seed)),
+            jnp.asarray(req.temperature, jnp.float32),
+            jnp.asarray(req.topp, jnp.float32))
+        first = int(np.asarray(first))
+        self._keys = self._fold_keys(
+            self._keys, jnp.asarray([slot], jnp.int32),
+            jnp.asarray([req.seed], jnp.uint32),
+            jnp.asarray([req.id], jnp.uint32))
+        self.stats.prefill_s += time.perf_counter() - t0
+        self.stats.prefix_hits += 1
+        self.stats.prefix_rows_reused += plen
+        self.slot_req[slot] = req
+        self.pos[slot] = len(req.prompt_tokens)
+        self.temps[slot] = req.temperature
+        self.topps[slot] = req.topp
+        self.pending[slot] = first
+        req._prev_token = req.prompt_tokens[-1]
+        self.stats.total_prompt_tokens += len(req.prompt_tokens)
+        self._prefix_register(slot, req.prompt_tokens)
+        self._emit(slot, first, from_decode=False)
 
     def step(self) -> bool:
         """Admit queued requests, run one decode chunk.  Returns True while

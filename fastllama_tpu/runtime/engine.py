@@ -327,14 +327,25 @@ class Engine:
         stop_set = set(int(t) for t in stop_tokens)
         stats = GenerationStats(prompt_tokens=len(tokens))
 
-        # prefill (whole prompt in one padded forward)
-        bucket = self._bucket(len(tokens))
-        padded = np.zeros(bucket, np.int32)
-        padded[:len(tokens)] = tokens
+        # prefill: whole prompt in one padded forward, or fixed-size chunks
+        # through the mid-sequence path for long prompts (bounded compile
+        # time + activation memory on long-context configs, NEXT.md #6)
         t0 = time.perf_counter()
         cache = self.new_cache()
-        last_logits, cache = self._get_prefill(bucket)(
-            self.params, jnp.asarray(padded), cache, len(tokens), 0)
+        C = self.ec.prefill_chunk
+        if C and len(tokens) > C:
+            for s in range(0, len(tokens), C):
+                blk = tokens[s:s + C]       # only the LAST block is padded,
+                padded = np.zeros(C, np.int32)  # so no padding row is ever
+                padded[:len(blk)] = blk         # attended by a later block
+                last_logits, cache = self._get_prefill(C, fresh=(s == 0))(
+                    self.params, jnp.asarray(padded), cache, len(blk), s)
+        else:
+            bucket = self._bucket(len(tokens))
+            padded = np.zeros(bucket, np.int32)
+            padded[:len(tokens)] = tokens
+            last_logits, cache = self._get_prefill(bucket)(
+                self.params, jnp.asarray(padded), cache, len(tokens), 0)
         pos = len(tokens)
         prev_token = tokens[-1]
 

@@ -481,3 +481,73 @@ def test_mixed_lengths_through_slots(batched):
     batched.run()
     assert r_long.done and len(r_long.output_tokens) == 7
     assert r_short.done and len(r_short.output_tokens) == 30
+
+
+def test_prefix_cache_hit_matches_full_prefill(tmp_path):
+    """Shared-system-prompt admission: the second request copies the donor
+    slot's K/V rows and prefills only its tail; outputs must equal the
+    no-prefix-cache engine exactly."""
+    import numpy as np
+    from fastllama_tpu.config import EngineConfig, ModelConfig
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    cfg = ModelConfig(dim=128, hidden_dim=256, n_layers=2, n_heads=8,
+                      n_kv_heads=4, vocab_size=512, max_seq_len=128,
+                      group_size=16)
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=cfg)
+    system = [(i * 5) % 400 + 2 for i in range(40)]     # shared 40-token prefix
+    p1 = system + [7, 9]
+    p2 = system + [11, 13, 15]
+
+    def run(prefix_cache):
+        eng = BatchedEngine.load(
+            ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+            EngineConfig(max_seq_len=128, max_batch_size=3,
+                         compute_dtype="float32",
+                         prefix_cache=prefix_cache), decode_chunk=4)
+        r1 = eng.submit(p1, max_new_tokens=40, temperature=0.0,
+                        stop_tokens=())
+        eng.step()                       # admit + register r1 (stays live)
+        assert not r1.done
+        r2 = eng.submit(p2, max_new_tokens=6, temperature=0.0,
+                        stop_tokens=())
+        eng.run()
+        return r1.output_tokens, r2.output_tokens, eng.stats
+
+    o1_base, o2_base, st_base = run(False)
+    o1_pc, o2_pc, st_pc = run(True)
+    assert st_base.prefix_hits == 0
+    assert st_pc.prefix_hits == 1
+    # the shared prefix is reused at block granularity (40 -> 32 rows)
+    assert st_pc.prefix_rows_reused == 32
+    assert o1_pc == o1_base
+    assert o2_pc == o2_base
+
+
+def test_prefix_cache_released_on_completion(tmp_path):
+    """Entries donated by a finished slot must not be used (idle-slot decode
+    clobbers row 0): after the donor completes, the same prompt re-prefills
+    fully and still decodes correctly."""
+    from fastllama_tpu.config import EngineConfig, ModelConfig
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    cfg = ModelConfig(dim=128, hidden_dim=256, n_layers=2, n_heads=8,
+                      n_kv_heads=4, vocab_size=512, max_seq_len=128,
+                      group_size=16)
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=cfg)
+    prompt = [(i * 5) % 400 + 2 for i in range(40)] + [7]
+
+    eng = BatchedEngine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=128, max_batch_size=2,
+                     compute_dtype="float32", prefix_cache=True),
+        decode_chunk=4)
+    r1 = eng.submit(prompt, max_new_tokens=4, temperature=0.0,
+                    stop_tokens=())
+    eng.run()                            # r1 completes -> entries released
+    assert r1.done and not eng._prefix_index
+    r2 = eng.submit(prompt, max_new_tokens=4, temperature=0.0,
+                    stop_tokens=())
+    eng.run()
+    assert eng.stats.prefix_hits == 0
+    assert r2.output_tokens == r1.output_tokens

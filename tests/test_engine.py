@@ -247,3 +247,34 @@ def test_eval_ppl_decode_path_matches_prefill(tmp_path):
     assert 1.0 < p_kv8 < 1e7
     assert abs(_math.log(p_kv8) - _math.log(p_prefill)) < 0.1 * abs(
         _math.log(p_prefill)) + 0.1
+
+
+def test_chunked_prefill_matches_whole_prompt(tmp_path):
+    from fastllama_tpu.config import ModelConfig
+    """prefill_chunk: a long prompt prefills as fixed-size mid-sequence
+    blocks — same outputs as the whole-prompt path, and only chunk-sized
+    programs are ever compiled (bounded compile/memory for long contexts)."""
+    from fastllama_tpu.config import EngineConfig
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    cfg = ModelConfig(dim=64, hidden_dim=128, n_layers=2, n_heads=4,
+                      n_kv_heads=4, vocab_size=512, max_seq_len=256,
+                      group_size=16)
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=cfg)
+    prompt = [(i * 7) % 500 + 1 for i in range(150)]
+
+    base = Engine.load(ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+                       EngineConfig(max_seq_len=256,
+                                    compute_dtype="float32"))
+    want, _ = base.generate(prompt, max_new_tokens=8, temperature=0.0,
+                            stop_tokens=(), decode_chunk=4)
+
+    eng = Engine.load(ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+                      EngineConfig(max_seq_len=256, compute_dtype="float32",
+                                   prefill_chunk=64))
+    got, st = eng.generate(prompt, max_new_tokens=8, temperature=0.0,
+                           stop_tokens=(), decode_chunk=4)
+    assert got == want
+    # only 64-row prefill programs were compiled (one fresh, one mid-seq)
+    assert set(eng._prefill_fns) == {(64, True), (64, False)}
+    assert st.prompt_tokens == 150

@@ -42,6 +42,12 @@ BT_BASE_ITEM, BT_DICT, BT_TENSOR, BT_ARRAY, BT_STRING, BT_STRING_ARRAY = range(6
 DT_NONE, DT_INT8, DT_INT16, DT_INT32, DT_INT64 = 0, 1, 2, 3, 4
 DT_UINT8, DT_UINT16, DT_UINT32, DT_UINT64 = 5, 6, 7, 8
 DT_FLOAT16, DT_FLOAT32, DT_FLOAT64, DT_BLOCK = 10, 11, 12, 15
+# EXTENSION (ours): packed INT4 tensor data — Bit4Pair bytes (low nibble =
+# even element, high = odd, quant_operators.h:25-31) with the block's shape4
+# holding the LOGICAL shape.  The reference's DataType enum tops out at
+# BLOCK=15 and its loader rejects unknown types, so INT4 files are readable
+# only by this engine; INT8/INT16 files remain fully interchangeable.
+DT_INT4X = 20
 
 _DT_NP = {DT_INT8: np.int8, DT_INT16: np.int16, DT_INT32: np.int32,
           DT_UINT8: np.uint8, DT_FLOAT16: np.float16, DT_FLOAT32: np.float32}
@@ -121,15 +127,19 @@ class _Writer:
         self.f.write(hd + nm + b"\x00" * head_pad + data + b"\x00" * tail_pad)
 
     def tensor(self, name: str, arr: np.ndarray, scales: Optional[np.ndarray],
-               tensor_type: int, layer_id: int = 0, align: int = 64) -> None:
-        dt = {np.dtype(np.int8): DT_INT8, np.dtype(np.int16): DT_INT16,
-              np.dtype(np.float32): DT_FLOAT32}[arr.dtype]
+               tensor_type: int, layer_id: int = 0, align: int = 64,
+               data_type: Optional[int] = None,
+               logical_shape: Optional[tuple] = None) -> None:
+        dt = data_type if data_type is not None else \
+            {np.dtype(np.int8): DT_INT8, np.dtype(np.int16): DT_INT16,
+             np.dtype(np.float32): DT_FLOAT32}[arr.dtype]
         data = arr.tobytes()
         scales_size = 0
         if scales is not None:
             scales_size = scales.size
             data += scales.astype("<f4").tobytes()
-        shape4 = list(arr.shape[:4]) + [0] * (4 - len(arr.shape))
+        shape = logical_shape if logical_shape is not None else arr.shape
+        shape4 = list(shape[:4]) + [0] * (4 - len(shape))
         hd = struct.pack("<4I2HI", *shape4, tensor_type, layer_id, scales_size)
         self.block(name, data, BT_TENSOR, dt, align, hd)
 
@@ -220,8 +230,6 @@ def write_flm(path: str, cfg: ModelConfig, tokenizer: Tokenizer,
     """Write an FLM file the C++ engine can load.  ``weights``: fp32 numpy in
     ``rope_convention`` ('half' = HF layout, permuted to interleaved on
     write)."""
-    if qtype == QuantType.INT4:
-        raise ValueError("FLM has no INT4 data type (reference DataType enum)")
     with open(path, "wb") as fh:
         fh.write(struct.pack("<IBBH", FLM_FILE_TAG, 1, 0, 0))
         w = _Writer(fh)
@@ -232,7 +240,14 @@ def write_flm(path: str, cfg: ModelConfig, tokenizer: Tokenizer,
             arr = np.asarray(arr, np.float32)
             if quant and qtype != QuantType.NONE and arr.ndim > 1:
                 data, scales = quantize_np(arr, qtype, cfg.group_size)
-                w.tensor(name, data, scales, tt, layer_id)
+                if qtype == QuantType.INT4:
+                    # extension block (DT_INT4X): Bit4Pair-packed values,
+                    # logical shape in the header (NEXT.md #10)
+                    from fastllama_tpu.quant.groupquant import pack_int4_np
+                    w.tensor(name, pack_int4_np(data), scales, tt, layer_id,
+                             data_type=DT_INT4X, logical_shape=data.shape)
+                else:
+                    w.tensor(name, data, scales, tt, layer_id)
             else:
                 w.tensor(name, arr, None, tt, layer_id)
 
@@ -414,10 +429,16 @@ def load_flm(path: str, tokenizer_only: bool = False
                 if field is None:
                     f.seek(nxt)
                     continue
-                npdt = _DT_NP[b.data_type]
                 count = int(np.prod(b.shape))
-                arr = np.frombuffer(f.read(count * npdt().itemsize),
-                                    dtype=npdt).reshape(b.shape)
+                if b.data_type == DT_INT4X:
+                    # extension: Bit4Pair bytes, logical shape in header
+                    from fastllama_tpu.quant.groupquant import unpack_int4_np
+                    packed = np.frombuffer(f.read(count // 2), dtype=np.uint8)
+                    arr = unpack_int4_np(packed).reshape(b.shape)
+                else:
+                    npdt = _DT_NP[b.data_type]
+                    arr = np.frombuffer(f.read(count * npdt().itemsize),
+                                        dtype=npdt).reshape(b.shape)
                 scales = None
                 if b.scales_size:
                     scales = np.frombuffer(f.read(b.scales_size * 4),

@@ -104,11 +104,24 @@ def test_cross_format_logits_match(tiny_ckpt, tmp_path):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_flm_rejects_int4(tmp_path):
-    with pytest.raises(ValueError):
-        flm.write_flm(str(tmp_path / "x.flm"), TINY, tiny_tokenizer(),
-                      tiny_weights(), QuantType.INT4,
-                      rope_convention="interleaved")
+def test_flm_int4_uses_extension_datatype(tmp_path):
+    """INT4 FLM files are written with our DT_INT4X extension block type
+    (the reference enum has no INT4; its loader rejects unknown types)."""
+    import struct
+    path = str(tmp_path / "x.flm")
+    flm.write_flm(path, TINY, tiny_tokenizer(), tiny_weights(),
+                  QuantType.INT4, rope_convention="interleaved")
+    raw = open(path, "rb").read()
+    # at least one tensor block carries data_type DT_INT4X
+    found = False
+    pos = 8
+    while pos + 16 <= len(raw):
+        bt, dt = raw[pos], raw[pos + 1]
+        if bt == flm.BT_TENSOR and dt == flm.DT_INT4X:
+            found = True
+            break
+        pos += 8
+    assert found
 
 
 def test_gguf_reader(tmp_path):
@@ -253,3 +266,54 @@ def test_hf_rope_scaling_parsing():
     assert c.rope_freq_scale == 0.5
     assert c.rope_ext_factor == 1.0
     assert c.rope_orig_ctx == 256
+
+
+def test_flm_int4_extension_roundtrip(tmp_path):
+    """Our DT_INT4X extension block: packed INT4 FLM files round-trip through
+    write_flm/load_flm and serve identically to quantize-on-load INT4."""
+    import numpy as np
+    from fastllama_tpu.config import EngineConfig, ModelConfig, QuantType
+    from fastllama_tpu.loaders.flm import load_flm, write_flm
+    from fastllama_tpu.loaders.registry import FileType
+    from fastllama_tpu.runtime.engine import Engine
+    from fastllama_tpu.tools.synthetic import (tiny_tokenizer, tiny_weights,
+                                               write_tiny_llama2c)
+
+    # group_size 64 (the default): llama2c files carry no group-size field
+    cfg = ModelConfig(dim=128, hidden_dim=256, n_layers=2, n_heads=8,
+                      n_kv_heads=4, vocab_size=512, max_seq_len=64,
+                      quant_type=QuantType.INT4)
+    # write the llama2c checkpoint first and take ITS normalized (half-
+    # convention) weights as the FLM source, so both engines share the
+    # exact same effective parameters
+    from fastllama_tpu.loaders.registry import load_model
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=cfg, seed=3)
+    m = load_model(ckpt, tokp, FileType.LLAMA2C)
+    weights = {k: np.asarray(v, np.float32) for k, v in m.weights.items()}
+    tok = tiny_tokenizer(cfg.vocab_size)
+    flm_path = str(tmp_path / "m4.flm")
+    write_flm(flm_path, cfg, tok, weights, QuantType.INT4)
+
+    rcfg, rweights, rtok = load_flm(flm_path)
+    assert rcfg.quant_type == QuantType.INT4
+    # packed values round-trip exactly (wv has no rope permutation)
+    from fastllama_tpu.quant.groupquant import quantize_np
+    want_q, want_s = quantize_np(
+        np.asarray(weights["wv"], np.float32), QuantType.INT4, 64)
+    got_q, got_s = rweights["wv"]
+    np.testing.assert_array_equal(np.asarray(got_q), want_q)
+    np.testing.assert_allclose(np.asarray(got_s).reshape(want_s.shape),
+                               want_s, rtol=0, atol=0)
+
+    # serving parity: FLM-int4 engine == llama2c quantize-on-load int4
+    e_ref = Engine.load(ckpt, tokp, FileType.LLAMA2C, QuantType.INT4,
+                        EngineConfig(max_seq_len=64,
+                                     compute_dtype="float32"))
+    e_flm = Engine.load(flm_path, "", FileType.FLM, None,
+                        EngineConfig(max_seq_len=64,
+                                     compute_dtype="float32"))
+    want, _ = e_ref.generate([1, 5, 9], max_new_tokens=6, temperature=0.0,
+                             stop_tokens=(), decode_chunk=3)
+    got, _ = e_flm.generate([1, 5, 9], max_new_tokens=6, temperature=0.0,
+                            stop_tokens=(), decode_chunk=3)
+    assert got == want

@@ -53,7 +53,7 @@ def bench_single(cfg, params, n_tokens, chunk, prompt):
     """Single-stream decode tok/s (the reference's own benchmark shape)."""
     eng = Engine(cfg, params, Tokenizer().finalize(),
                  EngineConfig(max_seq_len=cfg.max_seq_len,
-                              kv_dtype="bfloat16"))
+                              kv_dtype="bfloat16", fuse_weights=False))
     # warmup: compiles prefill + decode chunk and pays the tunnel's
     # first-execution overhead on every executable
     t0 = time.perf_counter()
@@ -80,7 +80,8 @@ def bench_batched(cfg, params, n_tokens, chunk, prompt, batch, kv_dtype):
     eng = BatchedEngine(cfg, params, Tokenizer().finalize(),
                         EngineConfig(max_seq_len=cfg.max_seq_len,
                                      kv_dtype=kv_dtype,
-                                     max_batch_size=batch),
+                                     max_batch_size=batch,
+                                     fuse_weights=False),
                         decode_chunk=chunk)
     # warmup: compile prefill + one full-size chunk
     t0 = time.perf_counter()
@@ -134,6 +135,15 @@ def main():
     t0 = time.perf_counter()
     params = random_params_int(cfg, seed=0)
     jax.block_until_ready(params.wq.data)
+    if int(os.environ.get("BENCH_FUSE", "1")):
+        # fuse ONCE here and share across both engines (each engine fusing
+        # its own copy doubled weight HBM and OOM'd the B=48 cache)
+        from fastllama_tpu.models.llama import fuse_params
+        try:
+            params = fuse_params(cfg, params)
+            jax.block_until_ready(params.wq.data)
+        except ValueError:
+            pass                        # mixed INT4 pack layouts: unfused
     print(f"# params materialized in {time.perf_counter()-t0:.1f}s "
           f"on {jax.devices()[0]}", file=sys.stderr)
 

@@ -11,3 +11,11 @@ __version__ = "0.1.0"
 from fastllama_tpu.config import (ActivationType, EngineConfig, ModelArchitecture,
                                   ModelConfig, QuantType)
 from fastllama_tpu.quant.groupquant import QArray, dequantize, quantize
+
+__all__ = [
+    "ActivationType", "EngineConfig", "ModelArchitecture", "ModelConfig",
+    "QuantType", "QArray", "dequantize", "quantize",
+    # heavier entry points live in submodules to keep import light:
+    # runtime.engine.Engine, runtime.batching.BatchedEngine,
+    # runtime.multihost.MultiHostEngine, runtime.speculative.SpeculativeEngine
+]

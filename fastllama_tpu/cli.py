@@ -67,6 +67,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prompts-file", default="",
                    help="--mode serve: file with one prompt per line "
                         "(default: stdin)")
+    p.add_argument("--prefix-cache", action="store_true",
+                   help="--mode serve: reuse K/V of shared prompt prefixes "
+                        "across slots (device-side row copy + tail prefill)")
+    p.add_argument("--prefill-chunk", type=int, default=0,
+                   help="prefill long prompts in fixed blocks of this size "
+                        "(bounds compile time/memory on long contexts)")
+    p.add_argument("--draft", default="",
+                   help="draft checkpoint for speculative decoding "
+                        "(greedy only; --spec-width tokens per verify)")
+    p.add_argument("--spec", action="store_true",
+                   help="draft-free speculative decoding (n-gram "
+                        "prompt-lookup)")
+    p.add_argument("--spec-width", type=int, default=8,
+                   help="speculation verify width D")
     p.add_argument("--debug", action="store_true")
     return p
 
@@ -78,7 +92,8 @@ def serve_mode(args) -> int:
 
     ec = EngineConfig(max_seq_len=args.max_seq_len, kv_dtype=args.kv_dtype,
                       use_pallas=not args.no_pallas, mesh=args.mesh,
-                      max_batch_size=args.batch)
+                      max_batch_size=args.batch,
+                      prefix_cache=args.prefix_cache)
     eng = BatchedEngine.load(args.checkpoint, args.tokenizer,
                              FileType.parse(args.file_type),
                              QuantType.parse(args.quant), ec,
@@ -170,7 +185,7 @@ def main(argv=None) -> int:
 
     ec = EngineConfig(max_seq_len=args.max_seq_len, kv_dtype=args.kv_dtype,
                       use_pallas=not args.no_pallas, parity_mode=args.parity,
-                      mesh=args.mesh)
+                      mesh=args.mesh, prefill_chunk=args.prefill_chunk)
     if args.detail or args.debug:
         print(f"checkpoint: {args.checkpoint}\nquant: {qtype.name}\n"
               f"temperature: {args.temperature}  top_p: {args.topp}",
@@ -187,6 +202,20 @@ def main(argv=None) -> int:
 
     if args.mode == "chat":
         return chat_loop(eng, args)
+
+    spec = None
+    if args.draft or args.spec:
+        if args.temperature > 0:
+            print("speculative decoding is greedy-only; use -t 0",
+                  file=sys.stderr)
+            return 2
+        from fastllama_tpu.runtime.speculative import SpeculativeEngine
+        draft_eng = None
+        if args.draft:
+            draft_eng = Engine.load(args.draft, args.tokenizer,
+                                    FileType.parse(args.file_type), qtype, ec)
+        spec = SpeculativeEngine(eng, draft=draft_eng,
+                                 width=args.spec_width)
 
     profiler = None
     if args.profile_dir:
@@ -205,12 +234,19 @@ def main(argv=None) -> int:
                     print(text, end="", flush=True)
                 return True
 
-            toks, st = eng.generate(prompt, args.max_new_tokens,
-                                    args.temperature, args.topp,
-                                    seed=args.seed + r, callback=cb,
-                                    decode_chunk=args.decode_chunk)
+            if spec is not None:
+                toks, st = spec.generate(prompt, args.max_new_tokens,
+                                         callback=cb)
+            else:
+                toks, st = eng.generate(prompt, args.max_new_tokens,
+                                        args.temperature, args.topp,
+                                        seed=args.seed + r, callback=cb,
+                                        decode_chunk=args.decode_chunk)
             if not bench:
                 print()
+            if spec is not None and (args.detail or args.debug):
+                print(f"# spec acceptance {st.acceptance:.2f} over "
+                      f"{st.rounds} rounds", file=sys.stderr)
             agg["ptok"] += st.prompt_tokens
             agg["otok"] += st.output_tokens
             agg["ps"] += st.prefill_s

@@ -135,10 +135,13 @@ class EngineConfig:
     # flash_decode.py): skips HBM reads of cache blocks past each slot's
     # position.  False = always-stream kernels (ops/pallas/attention.py).
     flash_attention: bool = True
-    # concat QKV + gate/up into single matmuls (single-mesh only).  Off by
-    # default: on v5e the per-projection kernels pipeline slightly better;
-    # useful for dispatch-bound tiny models.
-    fuse_weights: bool = False
+    # concat QKV + gate/up into single matmuls (single-mesh only; forced off
+    # under a multi-device mesh where the concat axis would straddle TP
+    # shard boundaries).  One 48/92 MB weight stream replaces 3x16/2x46 MB
+    # ones: measured 96.4 vs 92.5 tok/s single-stream 7B INT8 on v5e.
+    # Engines fall back to unfused if a projection mix can't fuse (e.g.
+    # INT4 where only some projections pack).
+    fuse_weights: bool = True
     parity_mode: bool = False           # bit-faithful reference math (act-quant int dot)
     donate_cache: bool = True
     # GSPMD mesh spec, e.g. "model=8" or "data=2,model=4" (empty = single

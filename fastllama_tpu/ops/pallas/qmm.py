@@ -56,7 +56,13 @@ def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, *, gs: int, wide: bool):
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
     else:
-        wf = (w.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        # int8 values (<=127) are exact in bf16; rounding the SCALE to bf16
+        # costs <=2^-9 relative on the dequantized weight (inside bf16's own
+        # storage error) and skips the f32 intermediate — one VPU op and a
+        # third of the VMEM intermediate traffic less per element (the
+        # 4096x4096 projections measured 74% of HBM bandwidth with the f32
+        # dequant; w1/w2/w3 86-90%)
+        wf = w.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)
         acc = jax.lax.dot_general(
             x_ref[:].astype(jnp.bfloat16), wf,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -85,9 +91,9 @@ def _pick_tiles(T: int, O: int, I: int, gs: int, itemsize: int):
     return TT, _pick_to(O, min(to_cap, _MAX_TO)), I
 
 
-# dequantizing a packed tile materializes ~10 bytes/element of VMEM
-# intermediates per nibble plane (int32 + f32 + bf16); cap the plane so the
-# scoped-VMEM stack stays under the 16 MB core limit
+# dequantizing a packed tile materializes ~8 bytes/element of VMEM
+# intermediates per nibble plane (int32 nibbles + bf16 dequant/product);
+# cap the plane so the scoped-VMEM stack stays under the 16 MB core limit
 _PACKED_TILE_ELEMS = 512 * 1024
 
 
@@ -219,6 +225,8 @@ def _qmm_kernel_p4(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, *,
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
+    # int32 shifts: Mosaic cannot legalize arith.shli on int8 vectors on
+    # real TPUs (caught by tools/tpu_smoke.py; interpret mode accepts it)
     p = w_ref[:].astype(jnp.int32)                # (TKp, TO)
     acc = jnp.zeros_like(o_ref)
     for shift, x_ref, s_ref in ((28, x_lo_ref, s_lo_ref),
@@ -228,7 +236,9 @@ def _qmm_kernel_p4(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, *,
         TKg, TO = s.shape
         scale = jnp.broadcast_to(s[:, None, :],
                                  (TKg, gs, TO)).reshape(TKg * gs, TO)
-        wf = (w.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        # bf16 dequant (same treatment as _qmm_kernel): int4 values exact
+        # in bf16; scale rounding <= 2^-9 relative
+        wf = w.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)
         acc += jax.lax.dot_general(
             x_ref[:].astype(jnp.bfloat16), wf,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -254,7 +264,7 @@ def _qmm_kernel_p4_idx(l_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref,
         TKg, TO = s.shape
         scale = jnp.broadcast_to(s[:, None, :],
                                  (TKg, gs, TO)).reshape(TKg * gs, TO)
-        wf = (w.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        wf = w.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)
         acc += jax.lax.dot_general(
             x_ref[:].astype(jnp.bfloat16), wf,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -282,7 +292,8 @@ def _qmm_kernel_idx(l_ref, x_ref, w_ref, s_ref, o_ref, *, gs: int, wide: bool):
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
     else:
-        wf = (w.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        # bf16 dequant: see _qmm_kernel
+        wf = w.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)
         acc = jax.lax.dot_general(
             x_ref[:].astype(jnp.bfloat16), wf,
             dimension_numbers=(((1,), (0,)), ((), ())),

@@ -138,7 +138,10 @@ class BatchedEngine:
                     use_pallas=ec.use_pallas and ec.spmd_kernels)
         if ec.fuse_weights and not ec.parity_mode:
             from fastllama_tpu.models.llama import fuse_params
-            params = fuse_params(config, params)
+            try:
+                params = fuse_params(config, params)
+            except ValueError:          # mixed INT4 pack layouts: keep unfused
+                ec = dataclasses.replace(ec, fuse_weights=False)
         self.params = params
         self.tokenizer = tokenizer
         self.ec = ec

@@ -79,7 +79,10 @@ class Engine:
                     use_pallas=ec.use_pallas and ec.spmd_kernels)
         if ec.fuse_weights and not ec.parity_mode:
             from fastllama_tpu.models.llama import fuse_params
-            params = fuse_params(config, params)
+            try:
+                params = fuse_params(config, params)
+            except ValueError:          # mixed INT4 pack layouts: keep unfused
+                ec = dataclasses.replace(ec, fuse_weights=False)
         self.params = params
         self.tokenizer = tokenizer
         self.ec = ec
@@ -393,23 +396,37 @@ class Engine:
                 tok = jnp.asarray(nxt, jnp.int32)
         else:
             from fastllama_tpu.ops.pallas.flash_decode import round_bound
-            while len(out) < max_new_tokens:
-                n = min(decode_chunk, max_new_tokens - len(out))
-                sb = (round_bound(pos + n, cfg.max_seq_len)
-                      if (self._attn_idx_factory or
-                          self._sp_attn_bidx_factory) else 0)
-                fn = self._get_decode_chunk(n, temperature, topp, sb)
-                toks, cache, rng = fn(self.params, cache, tok, pos, rng)
-                toks_np = np.asarray(toks)
-                stop = False
-                for t in toks_np.tolist():
+            # pipeline chunk dispatch: the next chunk's input token is the
+            # previous chunk's toks[-1] — a device value — so chunk k+1 is
+            # dispatched before chunk k's tokens are read, hiding the
+            # host<->device round-trip (measured ~8 ms/chunk through the
+            # TPU tunnel).  On a stop token the in-flight chunk is dropped
+            # (its cache rows sit past the stop and are never attended).
+            PIPE = 2
+            inflight = []
+            planned = 0                 # tokens dispatched so far
+            pos_base = pos              # dispatch cursor (emission moves pos)
+            stop = False
+            while not stop and (len(out) < max_new_tokens or inflight):
+                while len(inflight) < PIPE and planned < max_new_tokens - 1:
+                    n = min(decode_chunk, max_new_tokens - 1 - planned)
+                    p0 = pos_base + planned
+                    sb = (round_bound(p0 + n, cfg.max_seq_len)
+                          if (self._attn_idx_factory or
+                              self._sp_attn_bidx_factory) else 0)
+                    fn = self._get_decode_chunk(n, temperature, topp, sb)
+                    toks, cache, rng = fn(self.params, cache, tok, p0, rng)
+                    tok = toks[-1]      # device slice, no host sync
+                    planned += n
+                    inflight.append((toks, n))
+                if not inflight:
+                    break
+                toks, n = inflight.pop(0)
+                for t in np.asarray(toks).tolist():
                     pos += 1
                     if not emit(int(t)) or int(t) in stop_set:
                         stop = True
                         break
-                if stop:
-                    break
-                tok = jnp.asarray(toks_np[-1], jnp.int32)
         stats.output_tokens = len(out)
         stats.decode_s = time.perf_counter() - t0
         return out, stats

@@ -17,9 +17,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# rank 1's long prompt lands in a different prefill bucket than rank 0's —
+# exercising cross-host admission-wave agreement (bucket = max over hosts)
 PROMPTS = {
     0: ["the cat sat", "a big dog ran"],
-    1: ["one two three", "hello there world"],
+    1: ["one two three " * 4, "hello there world"],
 }
 
 

@@ -278,3 +278,27 @@ def test_chunked_prefill_matches_whole_prompt(tmp_path):
     # only 64-row prefill programs were compiled (one fresh, one mid-seq)
     assert set(eng._prefill_fns) == {(64, True), (64, False)}
     assert st.prompt_tokens == 150
+
+
+def test_cli_spec_and_prefix_flags(tmp_path, capsys):
+    """--spec (n-gram speculative) and --prefix-cache CLI paths run end to
+    end on the tiny model."""
+    from fastllama_tpu import cli
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path))
+    rc = cli.main(["-c", ckpt, "-z", tokp, "-f", "llama2c", "-t", "0",
+                   "-n", "8", "-i", "the cat", "--max-seq-len", "64",
+                   "--spec", "--spec-width", "4", "--detail"])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "output:" in out.out
+
+    pf = tmp_path / "prompts.txt"
+    pf.write_text("the cat sat\nthe cat ran\n")
+    rc = cli.main(["-c", ckpt, "-z", tokp, "-f", "llama2c", "-t", "0",
+                   "-n", "6", "--mode", "serve", "--batch", "2",
+                   "--max-seq-len", "64", "--prefix-cache",
+                   "--prompts-file", str(pf)])
+    assert rc == 0
+    assert "served 2 requests" in capsys.readouterr().err

@@ -199,6 +199,12 @@ def main(argv=None) -> int:
               f"({eng.config.name or 'unnamed'}: dim={eng.config.dim} "
               f"layers={eng.config.n_layers} vocab={eng.config.vocab_size})",
               file=sys.stderr)
+    if args.debug:
+        # weight-statistics sweep (the reference's analyze_weights numerics
+        # probe, transformer.cpp:173-207, run over every tensor)
+        from fastllama_tpu.utils.debug import params_stats
+        params_stats(eng.params,
+                     print_fn=lambda s: print(f"# {s}", file=sys.stderr))
 
     if args.mode == "chat":
         return chat_loop(eng, args)

@@ -212,10 +212,7 @@ class BatchedEngine:
         self._prefix_block = 16
         self._prefix_index = {}
         self._slot_prefix_keys = [[] for _ in range(self.B)]
-        self._copy_prefix = None
-        if ec.prefix_cache:
-            from fastllama_tpu.models.batched import copy_slot_prefix
-            self._copy_prefix = jax.jit(copy_slot_prefix, donate_argnums=(0,))
+        self._prefix_enabled = bool(ec.prefix_cache)
 
         @jax.jit
         def _fold_keys(keys, slots, seeds, ids):
@@ -289,8 +286,14 @@ class BatchedEngine:
             cfg, mm, mi, cdt = self.config, self._mm, self._mm_idx, self._cdt
             from fastllama_tpu.models.batched import prefill_into_slot_at
 
-            def f(params, tokens, length, slot, start, cache, key, temp,
-                  topp):
+            from fastllama_tpu.models.batched import copy_slot_prefix
+
+            def f(params, tokens, length, slot, donor, start, cache, key,
+                  temp, topp):
+                # donor-row copy + tail prefill in ONE device call: a
+                # separate copy dispatch cost a full tunnel round-trip and
+                # erased the hit path's latency win
+                cache = copy_slot_prefix(cache, donor, slot, start)
                 logits, cache = prefill_into_slot_at(
                     cfg, params, tokens, length, slot, start, cache,
                     mm=mm, mm_idx=mi, compute_dtype=cdt)
@@ -299,7 +302,7 @@ class BatchedEngine:
                 return tok, cache
 
             self._tail_fns[bucket] = jax.jit(
-                f, donate_argnums=(5,) if self.ec.donate_cache else ())
+                f, donate_argnums=(6,) if self.ec.donate_cache else ())
         return self._tail_fns[bucket]
 
     # -- prefix cache ----------------------------------------------------------
@@ -308,8 +311,12 @@ class BatchedEngine:
         BL = self._prefix_block
         for l in range(BL, len(prompt) + 1, BL):
             key = (l, tuple(prompt[:l]))     # exact tokens: no hash collisions
-            self._prefix_index[key] = slot
-            self._slot_prefix_keys[slot].append(key)
+            # first registration wins: overwriting would re-point a shared
+            # prefix at a shorter-lived slot, losing the entry when that
+            # slot frees even though the original donor is still resident
+            if key not in self._prefix_index:
+                self._prefix_index[key] = slot
+                self._slot_prefix_keys[slot].append(key)
 
     def _prefix_release(self, slot: int) -> None:
         for key in self._slot_prefix_keys[slot]:
@@ -447,7 +454,7 @@ class BatchedEngine:
 
         # prefix-cache hits first: copy the donor's K/V rows device-side and
         # prefill only the tail (one call per hit; the tail is short)
-        if self._copy_prefix is not None:
+        if self._prefix_enabled:
             rest = []
             for req, slot in items:
                 donor, plen = self._prefix_lookup(req.prompt_tokens)
@@ -513,7 +520,7 @@ class BatchedEngine:
                 self.pending[slot] = int(firsts[i])
                 req._prev_token = req.prompt_tokens[-1]
                 self.stats.total_prompt_tokens += int(lens[i])
-                if self._copy_prefix is not None:
+                if self._prefix_enabled:
                     self._prefix_register(slot, req.prompt_tokens)
                 self._emit(slot, int(firsts[i]), from_decode=False)
 
@@ -522,9 +529,6 @@ class BatchedEngine:
         """Admission via prefix cache: device-copy donor rows [0, plen) into
         ``slot``, then prefill only the prompt tail at start=plen."""
         t0 = time.perf_counter()
-        self.cache = self._copy_prefix(
-            self.cache, jnp.asarray(donor, jnp.int32),
-            jnp.asarray(slot, jnp.int32), jnp.asarray(plen, jnp.int32))
         tail = req.prompt_tokens[plen:]
         bucket = self._bucket(len(tail))
         padded = np.zeros(bucket, np.int32)
@@ -533,7 +537,8 @@ class BatchedEngine:
         first, self.cache = fn(
             self.params, jnp.asarray(padded),
             jnp.asarray(len(tail), jnp.int32),
-            jnp.asarray(slot, jnp.int32), jnp.asarray(plen, jnp.int32),
+            jnp.asarray(slot, jnp.int32), jnp.asarray(donor, jnp.int32),
+            jnp.asarray(plen, jnp.int32),
             self.cache, jnp.asarray(host_prng_key(req.seed)),
             jnp.asarray(req.temperature, jnp.float32),
             jnp.asarray(req.topp, jnp.float32))

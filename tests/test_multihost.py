@@ -87,3 +87,27 @@ def test_multihost_two_processes(tmp_path):
     got = results[0]["outputs"] + results[1]["outputs"]
     assert got == want
     assert results[0]["completed"] == results[1]["completed"] == 2
+
+
+def test_multihost_sampled_path(tmp_path):
+    """Temperature > 0 goes through the host-built chunk keys; results are
+    deterministic for a fixed seed and requests complete."""
+    from fastllama_tpu.runtime.multihost import MultiHostEngine
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=CFG)
+
+    def run():
+        eng = MultiHostEngine.load(
+            ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+            EngineConfig(max_seq_len=64, max_batch_size=2,
+                         compute_dtype="float32", mesh="data=1,model=2"),
+            decode_chunk=4)
+        reqs = eng.generate_all(["the cat sat", "a big dog"],
+                                max_new_tokens=6, temperature=0.8, topp=0.9,
+                                seed=42, stop_tokens=())
+        return [r.output_tokens for r in reqs]
+
+    a, b = run(), run()
+    assert a == b
+    assert all(len(t) == 6 for t in a)

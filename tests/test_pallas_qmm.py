@@ -69,8 +69,12 @@ def test_qmm_in_forward_interpret():
 
 def test_qmm_packed_int4_matches_unpacked():
     """Split-half nibble-packed INT4 through the kernel must match the
-    unpacked int8-held path (plain and layer-indexed) to accumulation-order
-    tolerance (the packed kernel sums the two half-K passes separately)."""
+    unpacked int8-held path (plain and layer-indexed) closely.  Tolerance
+    covers accumulation order (the packed kernel sums two half-K passes)
+    AND dequant rounding: the unpacked int8 kernel multiplies bf16-rounded
+    scales while the packed kernel dequantizes through f32 (the bf16-scale
+    variant measured slower for int4 on v5e — int32->bf16 conversion is
+    the expensive VPU step)."""
     import jax.numpy as jnp
     import numpy as np
     from fastllama_tpu.config import QuantType
@@ -94,8 +98,8 @@ def test_qmm_packed_int4_matches_unpacked():
     assert supported(x, pk)
     a = qmatmul_pallas(x, unp, interpret=True)
     b = qmatmul_pallas(x, pk, interpret=True)
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
-                               atol=2e-4)
+    scale_ref = np.abs(np.asarray(a)).max()
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() < 2e-2 * scale_ref
 
     dL = np.stack([d, -d])
     sL = np.stack([s, s])
@@ -107,5 +111,5 @@ def test_qmm_packed_int4_matches_unpacked():
     for l in range(2):
         a = qmatmul_pallas_indexed(x, unpL, l, interpret=True)
         b = qmatmul_pallas_indexed(x, pkL, l, interpret=True)
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
-                                   atol=2e-4)
+        scale_ref = np.abs(np.asarray(a)).max()
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 2e-2 * scale_ref

@@ -7,6 +7,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir",
@@ -23,43 +25,45 @@ def main() -> int:
 
     name = sys.argv[1] if len(sys.argv) > 1 else \
         os.environ.get("BENCH_CONFIG", "7b")
-    cfg = CONFIGS[name].replace(max_seq_len=512)
+    cfg = CONFIGS[name].replace(max_seq_len=1024)
     params = random_params_int(cfg, seed=0)
     jax.block_until_ready(params.wq.data)
 
-    system = list(range(2, 386))            # 384-token shared system prompt
+    system = [(i * 3) % 31000 + 2 for i in range(896)]   # 896-token shared prefix
     n_req = 12
-    prompts = [system + [500 + i, 600 + i, 700 + i] for i in range(n_req)]
 
     def serve(prefix_cache: bool):
         eng = BatchedEngine(cfg, params, Tokenizer().finalize(),
-                            EngineConfig(max_seq_len=512, max_batch_size=4,
+                            EngineConfig(max_seq_len=1024, max_batch_size=4,
                                          kv_dtype="int8",
+                                         # params shared across both runs; a
+                                         # per-engine fused copy would
+                                         # double weight HBM
+                                         fuse_weights=False,
                                          prefix_cache=prefix_cache),
                             decode_chunk=8)
-        # warmup compiles (first request full prefill either way)
-        eng.submit(prompts[0], max_new_tokens=4, temperature=0.0,
-                   stop_tokens=())
-        eng.run()
-        if prefix_cache:                    # compile the hit path too
-            r = eng.submit(prompts[0], max_new_tokens=24, temperature=0.0,
-                           stop_tokens=())
+
+        def pattern(base: int):
+            """One resident donor + n_req-1 short admissions sharing the
+            system prefix.  Returns wall seconds for the short requests."""
+            donor = eng.submit(system + [base], max_new_tokens=300,
+                               temperature=0.0, stop_tokens=())
             eng.step()
-            eng.submit(prompts[1], max_new_tokens=4, temperature=0.0,
-                       stop_tokens=())
-            eng.run()
+            t0 = time.perf_counter()
+            reqs = [eng.submit(system + [base + 1 + i, base + 100 + i],
+                               max_new_tokens=8, temperature=0.0,
+                               stop_tokens=())
+                    for i in range(n_req - 1)]
+            while any(not r.done for r in reqs):
+                eng.step()
+            wall = time.perf_counter() - t0
+            eng.run()                       # drain the donor
+            return wall
+
+        pattern(500)                        # warmup: compiles every shape
         eng.stats.prefill_s = 0.0
         eng.stats.prefix_hits = eng.stats.prefix_rows_reused = 0
-        # steady state: keep one long-lived donor resident, admit the rest
-        donor = eng.submit(prompts[0], max_new_tokens=200, temperature=0.0,
-                           stop_tokens=())
-        eng.step()
-        t0 = time.perf_counter()
-        reqs = [eng.submit(p, max_new_tokens=8, temperature=0.0,
-                           stop_tokens=()) for p in prompts[1:]]
-        while any(not r.done for r in reqs):
-            eng.step()
-        wall = time.perf_counter() - t0
+        wall = pattern(900)
         return eng.stats, wall
 
     st_off, wall_off = serve(False)
@@ -83,6 +87,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
     sys.exit(main())

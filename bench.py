@@ -6,10 +6,12 @@ checkpoint download; generation is pure int8 on device so no fp32 memory
 spike).  Baseline: the reference C++ engine's LLaMA2-7B INT8 headline of
 ~25 tok/s on a 56-core Xeon (reference README.md:6; BASELINE.md).
 
-Env knobs: BENCH_CONFIG=7b|1b|110m (default 7b), BENCH_TOKENS (default 96),
-BENCH_CHUNK (default 32), BENCH_PROMPT (default 43 tokens, the reference's
-benchmark prompt length), BENCH_BATCH (default 8: continuous-batching slots
-for the aggregate-throughput headline; 1 = single-stream engine only).
+Env knobs: BENCH_CONFIG=7b|1b|110m (default 7b), BENCH_TOKENS (default 128),
+BENCH_CHUNK (default 64), BENCH_PROMPT (default 43 tokens, the reference's
+benchmark prompt length), BENCH_BATCH (default 48: continuous-batching slots
+for the aggregate-throughput headline; 1 = single-stream engine only),
+BENCH_SEQ (slot context class; default 512 for 7b), BENCH_QUANT
+(int8/int4/int16), BENCH_KV (int8/bfloat16/float32), BENCH_FUSE (default 1).
 """
 import json
 import os

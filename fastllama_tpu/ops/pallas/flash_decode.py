@@ -52,14 +52,27 @@ def _head_block(n_kv: int) -> int:
     return 8 if n_kv % 8 == 0 else n_kv
 
 
+def _slot_block(B: int, HB: int, block_s: int, hs: int, itemsize: int) -> int:
+    """Slots per grid program.  One program per (slot, head-block) left the
+    kernel PROGRAM-COUNT bound at serving batch sizes: B=48 x 4 head-blocks
+    x 2 seq-blocks x 32 layers = 12k programs/step at ~0.7 us each — more
+    than the whole weight stream.  Blocking BB slots per program divides
+    that by BB; K/V tile bytes stay under ~2 MB for double buffering."""
+    for bb in (8, 4, 2):
+        if B % bb == 0 and bb * HB * block_s * hs * itemsize <= 2 * 1024 * 1024:
+            return bb
+    return 1
+
+
 def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, *rest,
                   scale: float, block_s: int, nblocks: int,
                   quantized: bool = False, fresh: bool = False):
-    """Grid (B, n_kv//HB, NB); single-stream callers wrap into a B=1
+    """Grid (B//BB, n_kv//HB, NB); single-stream callers wrap into a B=1
     batched cache (flash_decode_single).
-    scalars = [layer, pos_0..pos_{B-1}].  Blocks carry HB kv heads:
-    q (1, HB, hgs, hs), k/v (1, 1, HB, block_s, hs), scales (1, 1, HB,
-    block_s), fresh rows (1, HB, hs).  Scratch rows are (HB*hgs, .)."""
+    scalars = [layer, pos_0..pos_{B-1}].  Blocks carry BB slots x HB kv
+    heads: q (BB, HB, hgs, hs), k/v (1, BB, HB, block_s, hs), scales
+    (1, BB, HB, block_s), fresh rows (BB, HB, hs).  Scratch rows are
+    (BB*HB*hgs, .): slot-major, then head, then query-in-group."""
     rest = list(rest)
     ks_ref = vs_ref = kn_ref = vn_ref = None
     if quantized:
@@ -71,9 +84,17 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, *rest,
     o_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
     j = pl.program_id(2)
-    pos = scalars_ref[1 + b]
-    # last block holding valid rows; with fresh (strict mask) row pos-1
-    cap = ((pos - 1) if fresh else pos) // block_s
+    BB, HB, hgs, hs = q_ref.shape
+    R = BB * HB * hgs                                  # scratch rows
+    HR = HB * hgs                                      # rows per slot
+
+    pos_s = [scalars_ref[1 + b * BB + i] for i in range(BB)]
+    # per-row positions (for the causal mask) and the last block any slot
+    # in this program still needs; with fresh (strict mask) row pos-1
+    cap = pos_s[0]
+    for p in pos_s[1:]:
+        cap = jnp.maximum(cap, p)
+    cap = ((cap - 1) if fresh else cap) // block_s
 
     @pl.when(j == 0)
     def _():
@@ -81,31 +102,39 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, *rest,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    HB, hgs, hs = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
-    R = HB * hgs                                       # scratch rows
+    def stack_rows(pieces):
+        return jnp.concatenate(pieces, axis=0) if len(pieces) > 1 \
+            else pieces[0]
+
+    def row_scales(sc):
+        """(BB, HB, BS) cache-row scales -> (R, BS) score-row scales."""
+        return stack_rows([
+            jnp.repeat(sc[i], hgs, axis=0) if hgs > 1 else sc[i]
+            for i in range(BB)])
 
     @pl.when(j <= cap)
     def _():
-        q = q_ref[0].astype(jnp.float32)               # (HB, hgs, hs)
-        k = k_ref[0, 0].astype(jnp.float32)            # (HB, BS, hs)
-        v = v_ref[0, 0].astype(jnp.float32)
+        q = q_ref[:].astype(jnp.float32)               # (BB, HB, hgs, hs)
+        k = k_ref[0].astype(jnp.float32)               # (BB, HB, BS, hs)
+        v = v_ref[0].astype(jnp.float32)
 
-        # per-head scores, stacked to (HB*hgs, BS)
-        s = jnp.concatenate([
+        # per-(slot, head) scores, stacked to (R, BS)
+        s = stack_rows([
             jax.lax.dot_general(
-                q[i], k[i], dimension_numbers=(((1,), (1,)), ((), ())),
+                q[i, h], k[i, h],
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            for i in range(HB)], axis=0) * scale
+            for i in range(BB) for h in range(HB)]) * scale
         if quantized:
             # per-row K scales land on the SCORE lanes (column s of scores
-            # = cache row s); scale row i belongs to head i's score rows
-            ks = ks_ref[0, 0]                          # (HB, BS)
-            if hgs > 1:
-                ks = jnp.repeat(ks, hgs, axis=0)
-            s = s * ks
+            # = cache row s)
+            s = s * row_scales(ks_ref[0])
         col = jax.lax.broadcasted_iota(jnp.int32, (R, block_s), 1) \
             + j * block_s
-        s = jnp.where(col < pos if fresh else col <= pos, s, NEG_INF)
+        pos_rows = stack_rows([
+            jnp.full((HR, 1), pos_s[i], jnp.int32) for i in range(BB)])
+        s = jnp.where(col < pos_rows if fresh else col <= pos_rows, s,
+                      NEG_INF)
 
         m = m_scr[:, :1]
         m2 = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -115,16 +144,13 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, *rest,
         l_scr[:, :1] = l_scr[:, :1] * corr + jnp.sum(e, axis=-1,
                                                      keepdims=True)
         if quantized:
-            vs = vs_ref[0, 0]
-            if hgs > 1:
-                vs = jnp.repeat(vs, hgs, axis=0)
-            e = e * vs                                 # fold V scales in
-        pv = jnp.concatenate([
+            e = e * row_scales(vs_ref[0])              # fold V scales in
+        pv = stack_rows([
             jax.lax.dot_general(
-                e[i * hgs:(i + 1) * hgs], v[i],
+                e[(i * HB + h) * hgs:(i * HB + h + 1) * hgs], v[i, h],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            for i in range(HB)], axis=0)               # (R, hs)
+            for i in range(BB) for h in range(HB)])    # (R, hs)
         acc_scr[:] = acc_scr[:] * corr + pv
 
     @pl.when(j == nblocks - 1)
@@ -132,26 +158,28 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, *rest,
         if fresh:
             # merge the current token's K/V rows (always attended: the
             # query's own position); full precision even over int8 caches
-            q = q_ref[0].astype(jnp.float32)           # (HB, hgs, hs)
-            kn = kn_ref[0].astype(jnp.float32)         # (HB, hs)
-            vn = vn_ref[0].astype(jnp.float32)
-            s_new = jnp.concatenate([
+            q = q_ref[:].astype(jnp.float32)           # (BB, HB, hgs, hs)
+            kn = kn_ref[:].astype(jnp.float32)         # (BB, HB, hs)
+            vn = vn_ref[:].astype(jnp.float32)
+            s_new = stack_rows([
                 jax.lax.dot_general(
-                    q[i], kn[i:i + 1],
+                    q[i, h], kn[i, h:h + 1],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                for i in range(HB)], axis=0) * scale   # (R, 1)
+                for i in range(BB) for h in range(HB)]) * scale   # (R, 1)
             m = m_scr[:, :1]
             m2 = jnp.maximum(m, s_new)
             corr = jnp.exp(m - m2)
             e = jnp.exp(s_new - m2)
             l2 = l_scr[:, :1] * corr + e
-            vn_rows = vn if hgs == 1 else jnp.repeat(vn, hgs, axis=0)
+            vn_rows = stack_rows([
+                jnp.repeat(vn[i], hgs, axis=0) if hgs > 1 else vn[i]
+                for i in range(BB)])
             acc = acc_scr[:] * corr + e * vn_rows
-            o_ref[0] = (acc / l2).reshape(HB, hgs, hs).astype(o_ref.dtype)
+            o_ref[:] = (acc / l2).reshape(BB, HB, hgs, hs).astype(o_ref.dtype)
         else:
-            o_ref[0] = (acc_scr[:] / l_scr[:, :1]).reshape(
-                HB, hgs, hs).astype(o_ref.dtype)
+            o_ref[:] = (acc_scr[:] / l_scr[:, :1]).reshape(
+                BB, HB, hgs, hs).astype(o_ref.dtype)
 
 
 def flash_decode_batched(q: jax.Array, ck: jax.Array, cv: jax.Array,
@@ -174,6 +202,7 @@ def flash_decode_batched(q: jax.Array, ck: jax.Array, cv: jax.Array,
     s_bound = min(s_bound or S, S)
     NB = -(-s_bound // block_s)
     HB = _head_block(n_kv)
+    BB = _slot_block(B, HB, block_s, hs, ck.dtype.itemsize)
     hgs = n_heads // n_kv
     qh = q.reshape(B, n_kv, hgs, hs)
     scalars = jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
@@ -184,11 +213,11 @@ def flash_decode_batched(q: jax.Array, ck: jax.Array, cv: jax.Array,
     kernel = functools.partial(_flash_kernel, scale=1.0 / float(hs) ** 0.5,
                                block_s=block_s, nblocks=NB,
                                quantized=quantized, fresh=fresh)
-    kv_spec = pl.BlockSpec((1, 1, HB, block_s, hs),
+    kv_spec = pl.BlockSpec((1, BB, HB, block_s, hs),
                            lambda b, h, j, s: (s[0], b, h, j, 0),
                            memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, HB, hgs, hs), lambda b, h, j, s: (b, h, 0, 0),
+        pl.BlockSpec((BB, HB, hgs, hs), lambda b, h, j, s: (b, h, 0, 0),
                      memory_space=pltpu.VMEM),
         kv_spec,
         kv_spec,
@@ -196,29 +225,29 @@ def flash_decode_batched(q: jax.Array, ck: jax.Array, cv: jax.Array,
     operands = [qh, ck, cv]
     if quantized:
         # scales are 4D (L, B, n_kv, S) — no trailing singleton (lane-pads
-        # 128x); HB-head blocks are legal Mosaic shapes, applied along the
-        # score lanes
-        sc_spec = pl.BlockSpec((1, 1, HB, block_s),
+        # 128x); slot/head blocks are legal Mosaic shapes, applied along
+        # the score lanes
+        sc_spec = pl.BlockSpec((1, BB, HB, block_s),
                                lambda b, h, j, s: (s[0], b, h, j),
                                memory_space=pltpu.VMEM)
         in_specs += [sc_spec, sc_spec]
         operands += [k_scale, v_scale]
     if fresh:
-        fr_spec = pl.BlockSpec((1, HB, hs), lambda b, h, j, s: (b, h, 0),
+        fr_spec = pl.BlockSpec((BB, HB, hs), lambda b, h, j, s: (b, h, 0),
                                memory_space=pltpu.VMEM)
         in_specs += [fr_spec, fr_spec]
         operands += [k_new, v_new]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, n_kv // HB, NB),
+        grid=(B // BB, n_kv // HB, NB),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, HB, hgs, hs),
+        out_specs=pl.BlockSpec((BB, HB, hgs, hs),
                                lambda b, h, j, s: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((HB * hgs, 128), jnp.float32),  # running max (col 0)
-            pltpu.VMEM((HB * hgs, 128), jnp.float32),  # running sum (col 0)
-            pltpu.VMEM((HB * hgs, hs), jnp.float32),   # output accumulator
+            pltpu.VMEM((BB * HB * hgs, 128), jnp.float32),  # running max
+            pltpu.VMEM((BB * HB * hgs, 128), jnp.float32),  # running sum
+            pltpu.VMEM((BB * HB * hgs, hs), jnp.float32),   # output acc
         ],
     )
     out = pl.pallas_call(

@@ -80,13 +80,23 @@ def _pick_to(O: int, cap: int) -> int:
 
 def _pick_tiles(T: int, O: int, I: int, gs: int, itemsize: int):
     """(TT, TO, TK) — TO must divide O; TK must divide I with TK%gs==0 and
-    (TK/gs)%8==0 (Mosaic sublane constraint on the scale block), else fall
-    back to full-K tiles with a narrower TO."""
+    (TK/gs)%8==0 (Mosaic sublane constraint on the scale block), else try
+    half/quarter-K splits, else fall back to full-K tiles with a narrower
+    TO."""
     TT = min(_MAX_TT, T)
     for tk in _TK_CANDIDATES:
         if I % tk == 0 and tk % gs == 0 and (tk // gs) % 8 == 0:
             return TT, _pick_to(O, _MAX_TO), tk
-    # full-K fallback (e.g. I = 11008): bound the weight tile bytes
+    # irregular contractions (e.g. the padded 11264 FFN hidden): an I/2 or
+    # I/4 split keeps TO wide (the full-K fallback squeezed TO to 128,
+    # measured 77% of HBM bandwidth vs 86-90% for the wide-TO kernels)
+    for tk in (I // 2, I // 4):
+        if tk and I % tk == 0 and tk % gs == 0 and (tk // gs) % 8 == 0:
+            to_cap = max(128, _W_TILE_BYTES // (tk * itemsize) // 128 * 128)
+            to = _pick_to(O, min(_MAX_TO, to_cap))
+            if to:
+                return TT, to, tk
+    # full-K fallback: bound the weight tile bytes
     to_cap = max(128, _W_TILE_BYTES // (I * itemsize) // 128 * 128)
     return TT, _pick_to(O, min(to_cap, _MAX_TO)), I
 

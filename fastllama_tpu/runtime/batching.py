@@ -560,6 +560,50 @@ class BatchedEngine:
         self._prefix_register(slot, req.prompt_tokens)
         self._emit(slot, first, from_decode=False)
 
+    def _plan_chunk(self, live):
+        """(K, greedy_only): chunk length bucketed DOWN to a power of two —
+        each distinct K compiles its own K-step whole-model scan, and the
+        tail of a request would otherwise produce arbitrary values in
+        [1, decode_chunk] (log2 variants instead); rounding down never
+        overruns position/length bounds."""
+        K = min(self.decode_chunk,
+                min(self.S - 1 - int(self.pos[b]) for b in live),
+                max(req.max_new_tokens - len(req.output_tokens)
+                    for req in (self.slot_req[b] for b in live)))
+        K = max(K, 1)
+        K = 1 << (K.bit_length() - 1)
+        greedy_only = all(self.slot_req[b].temperature <= 0.0 for b in live)
+        return K, greedy_only
+
+    def _dispatch_chunk(self, K: int, greedy_only: bool, pending, pos,
+                        max_pos: int):
+        """Launch one K-step decode chunk (async); returns the tokens
+        handle.  ``pending``/``pos`` may be device values (pipelining)."""
+        s_bound = 0
+        if self._attn_bidx_factory is not None:
+            from fastllama_tpu.ops.pallas.flash_decode import round_bound
+            s_bound = round_bound(max_pos + K, self.S)
+        fn = self._get_chunk(K, greedy_only, s_bound)
+        toks, self.cache, self._keys = fn(
+            self.params, self.cache, pending, pos, self._keys,
+            jnp.asarray(self.temps), jnp.asarray(self.topps))
+        return toks
+
+    def _apply_chunk(self, toks_np: np.ndarray, K: int, live) -> None:
+        """Host bookkeeping for one consumed chunk: mirror the device
+        position arithmetic, park idle slots, emit tokens."""
+        self.pos = np.minimum(self.pos + K, self.S - 1)
+        self.pending = toks_np[-1].copy()
+        for b in range(self.B):
+            if self.slot_req[b] is None:        # park idle slots at 0 so the
+                self.pos[b] = 0                 # bounded attention window
+                self.pending[b] = 0             # stays tight
+        for b in live:
+            for k in range(K):
+                if self.slot_req[b] is None:
+                    break                               # finished mid-chunk
+                self._emit(b, int(toks_np[k, b]))
+
     def step(self) -> bool:
         """Admit queued requests, run one decode chunk.  Returns True while
         any work (live or queued) remains."""
@@ -569,51 +613,92 @@ class BatchedEngine:
         if not live:
             return bool(self.queue)
 
-        K = min(self.decode_chunk,
-                min(self.S - 1 - int(self.pos[b]) for b in live),
-                max(req.max_new_tokens - len(req.output_tokens)
-                    for req in (self.slot_req[b] for b in live)))
-        K = max(K, 1)
-        # bucket K DOWN to a power of two: each distinct K compiles its own
-        # K-step whole-model scan, and the tail of a request would otherwise
-        # produce arbitrary values in [1, decode_chunk] (log2 variants
-        # instead); rounding down never overruns position/length bounds
-        K = 1 << (K.bit_length() - 1)
-        greedy_only = all(self.slot_req[b].temperature <= 0.0 for b in live)
-        s_bound = 0
-        if self._attn_bidx_factory is not None:
-            from fastllama_tpu.ops.pallas.flash_decode import round_bound
-            s_bound = round_bound(int(self.pos.max()) + K, self.S)
-
+        K, greedy_only = self._plan_chunk(live)
         t0 = time.perf_counter()
-        fn = self._get_chunk(K, greedy_only, s_bound)
-        toks, self.cache, self._keys = fn(
-            self.params, self.cache, jnp.asarray(self.pending),
-            jnp.asarray(self.pos), self._keys,
-            jnp.asarray(self.temps), jnp.asarray(self.topps))
+        toks = self._dispatch_chunk(K, greedy_only,
+                                    jnp.asarray(self.pending),
+                                    jnp.asarray(self.pos),
+                                    int(self.pos.max()))
         toks_np = np.asarray(toks)                      # (K, B)
         self.stats.decode_s += time.perf_counter() - t0
-
-        # host mirrors the device position arithmetic for every slot
-        self.pos = np.minimum(self.pos + K, self.S - 1)
-        self.pending = toks_np[-1].copy()
-        for b in range(self.B):
-            if self.slot_req[b] is None:        # park idle slots at 0 so the
-                self.pos[b] = 0                 # bounded attention window
-                self.pending[b] = 0             # stays tight
-
-        for b in live:
-            for k in range(K):
-                if self.slot_req[b] is None:
-                    break                               # finished mid-chunk
-                self._emit(b, int(toks_np[k, b]))
+        self._apply_chunk(toks_np, K, live)
         return bool(self.queue) or bool(self._live_slots())
 
+    def _pipelined_stretch(self) -> None:
+        """EXPERIMENTAL (FASTLLAMA_PIPELINE=1; measured SLOWER here —
+        see run()): dispatch-ahead decode while the schedule is
+        predictable: no queued admissions and every live request certainly
+        needs >= 2 more full chunks (by max_new_tokens budget).  Chunk
+        k+1's input token row is chunk k's toks[-1] — a device value — so
+        the next chunk is launched before the previous one's tokens are
+        read, hiding the host<->device round-trip per chunk (the trick
+        that sped up Engine.generate and the speculative rounds).
+
+        A/B on v5e (7B INT8, B=48): ON 1981 tok/s vs OFF 2684 — queueing a
+        second executable whose donated input (the 6.4 GB KV cache) is the
+        still-in-flight output of the first makes PJRT copy the cache
+        defensively, costing far more than the ~8 ms round-trip it hides.
+        The small-state engines (single-stream bf16 cache, spec rounds)
+        win from the same trick; the big-cache batched engine loses.
+        Unpredictable stop tokens only waste the in-flight chunk's lanes:
+        slots are independent in decode, so a finished slot's lanes are
+        ignored while other slots' tokens remain exactly what sequential
+        chunks would have produced."""
+        if self.queue:
+            return
+        live = self._live_slots()
+        if not live:
+            return
+        K, greedy_only = self._plan_chunk(live)
+        if K < self.decode_chunk:
+            return                                  # tail region: plain steps
+        budget = min(self.slot_req[b].max_new_tokens
+                     - len(self.slot_req[b].output_tokens) for b in live)
+        room = self.S - 1 - int(self.pos.max())
+        n_chunks = min(budget, room) // K
+        if n_chunks < 2:
+            return
+
+        PIPE = 2
+        inflight = []
+        pend_dev = jnp.asarray(self.pending)
+        pos_np = self.pos.copy()
+        t0 = time.perf_counter()
+        stop_dispatch = False
+        dispatched = 0
+        completed_before = self.stats.completed
+        while inflight or (dispatched < n_chunks and not stop_dispatch):
+            while len(inflight) < PIPE and dispatched < n_chunks \
+                    and not stop_dispatch:
+                toks = self._dispatch_chunk(
+                    K, greedy_only, pend_dev, jnp.asarray(pos_np),
+                    int(pos_np.max()))
+                pend_dev = toks[-1]                 # device row, no sync
+                pos_np = np.minimum(pos_np + K, self.S - 1)
+                inflight.append(toks)
+                dispatched += 1
+            toks_np = np.asarray(inflight.pop(0))
+            live_now = self._live_slots()
+            self._apply_chunk(toks_np, K, live_now)
+            if self.stats.completed != completed_before:
+                # a request finished (stop token): its slot should go back
+                # to admission; stop dispatching ahead and drain
+                stop_dispatch = True
+        self.stats.decode_s += time.perf_counter() - t0
+
     def run(self) -> BatchStats:
-        """Drain the queue to completion."""
-        while self.step():
-            pass
-        return self.stats
+        """Drain the queue to completion.  FASTLLAMA_PIPELINE=1 enables the
+        experimental dispatch-ahead stretch — measured 26% SLOWER on v5e
+        for the big donated KV cache (see _pipelined_stretch); default off.
+        """
+        import os
+        pipe = os.environ.get("FASTLLAMA_PIPELINE", "0") == "1"
+        while True:
+            if pipe:
+                self._admit_pending()
+                self._pipelined_stretch()   # no-op unless >= 2 sure chunks
+            if not self.step():
+                return self.stats
 
     def generate_all(self, prompts: Sequence, **kw) -> List[Request]:
         """Convenience: submit prompts, run to completion, return requests."""

@@ -39,6 +39,26 @@ def sample_top_p(logits: jax.Array, key: jax.Array, temperature: float,
     return jax.random.categorical(key, masked_logits, axis=-1).astype(jnp.int32)
 
 
+def nucleus_dist(logits: jax.Array, temperature: float,
+                 top_p: float) -> jax.Array:
+    """The NORMALIZED distribution :func:`sample_top_p` samples from —
+    softmax at ``temperature`` with the nucleus tail zeroed and the head
+    renormalized.  Speculative sampling needs the explicit p/q vectors for
+    its accept / residual-resample rule; using the same filter rule keeps
+    the spec-sampled output distribution identical to plain sampling."""
+    lf = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+    probs = jax.nn.softmax(lf, axis=-1)
+    if top_p <= 0.0 or top_p >= 1.0:
+        return probs
+    sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    keep_mass = cum - sorted_probs < top_p
+    cutoff = jnp.min(jnp.where(keep_mass, sorted_probs, 1.0), axis=-1,
+                     keepdims=True)
+    kept = jnp.where(probs >= cutoff, probs, 0.0)
+    return kept / jnp.sum(kept, axis=-1, keepdims=True)
+
+
 def sample(logits: jax.Array, key: jax.Array, temperature: float,
            top_p: float) -> jax.Array:
     """Static dispatch on temperature (the engine treats it as a compile-time

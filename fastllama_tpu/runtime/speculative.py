@@ -17,8 +17,9 @@ Two drafters:
   generated) — free (host-side), no second model, and very effective on
   self-repetitive or quote-heavy output.
 
-Scheme (greedy; temperature > 0 falls back to the plain engine) with
-verify width D:
+Scheme (greedy verify at temperature 0; at temperature > 0 the standard
+speculative-sampling accept/residual-resample rule preserves the target
+distribution exactly) with verify width D:
 
   round: draft scan runs D steps feeding x_0=pending, x_i=y_{i-1} (writes
   draft K/V rows pos..pos+D-1; the last step exists only to write x_{D-1}'s
@@ -48,6 +49,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fastllama_tpu.models.llama import KVCache, forward
+from fastllama_tpu.ops import sampling
 from fastllama_tpu.runtime.engine import Engine, GenerationStats
 
 
@@ -103,6 +105,114 @@ class SpeculativeEngine:
         self._round_fns = {}
 
     # -- compiled rounds -----------------------------------------------------
+
+    def _get_chunk_rounds_sampled(self, R: int, s_bound: int,
+                                  temperature: float, topp: float):
+        """Sampled (temperature > 0) speculative rounds — the standard
+        accept / residual-resample rule (speculative sampling): draft token
+        y_i ~ q_i is accepted iff u_i < p_i(y_i)/q_i(y_i); on the first
+        rejection at row a the emitted token is drawn from
+        norm(max(p_a - q_a, 0)); when every draft survives, a bonus token
+        is drawn from the last verified row.  The emitted stream is then
+        distributed EXACTLY as plain autoregressive sampling from the
+        target (Leviathan et al.) — same nucleus/temperature transform on
+        both sides (ops.sampling.nucleus_dist).  The n-gram drafter is the
+        degenerate q = one-hot case: accept with probability p(y_i)."""
+        key_ = ("s", R, s_bound, temperature, topp)
+        if key_ in self._round_fns:
+            return self._round_fns[key_]
+        eng, dr, D, n = self.engine, self.draft, self.width, self.ngram
+        tcfg = eng.config
+        tai = eng._attn_idx
+        if s_bound and eng._attn_idx_factory is not None:
+            tai = eng._attn_idx_factory(s_bound)
+        if dr is not None:
+            dcfg = dr.config
+            dai = dr._attn_idx
+            if s_bound and dr._attn_idx_factory is not None:
+                dai = dr._attn_idx_factory(min(s_bound, dcfg.max_seq_len))
+        V = tcfg.vocab_size
+
+        def draft_model(dp, dcache, pending, pos, history, hist_len, key):
+            def dstep(carry, k):
+                tok, p, dcache = carry
+                lg, dcache = forward(
+                    dcfg, dp, tok[None], p, dcache, mm=dr._mm,
+                    attn=dr._attn, mm_idx=dr._mm_idx, attn_idx=dai,
+                    compute_dtype=dr._cdt)
+                q = sampling.nucleus_dist(lg[0], temperature, topp)
+                nxt = jax.random.categorical(
+                    k, jnp.log(q + 1e-30)).astype(jnp.int32)
+                return (nxt, p + 1, dcache), (nxt, q)
+
+            (_, _, dcache), (ys, q_rows) = jax.lax.scan(
+                dstep, (pending, pos, dcache), jax.random.split(key, D))
+            return ys, q_rows, dcache
+
+        def draft_ngram(dp, dcache, pending, pos, history, hist_len, key):
+            H = history.shape[0]
+            tail = jax.lax.dynamic_slice(history, (hist_len - n,), (n,))
+            idx = jnp.arange(H)[:, None] + jnp.arange(n)[None, :]
+            vals = history[jnp.clip(idx, 0, H - 1)]
+            match = jnp.all(vals == tail[None, :], axis=1) & \
+                (jnp.arange(H) < hist_len - n)
+            s = jnp.max(jnp.where(match, jnp.arange(H), -1))
+            take = jnp.clip(s + n + jnp.arange(D), 0, H - 1)
+            ys = jnp.where((s >= 0) & (s + n + jnp.arange(D) < hist_len),
+                           history[take], 0).astype(jnp.int32)
+            q_rows = jax.nn.one_hot(ys, V, dtype=jnp.float32)
+            return ys, q_rows, dcache
+
+        drafter = draft_model if dr is not None else draft_ngram
+
+        def chunk(tp, dp, tcache, dcache, pending, pos, history, hist_len,
+                  rng):
+            def round_fn(carry, _):
+                pending, pos, tcache, dcache, history, hist_len, rng = carry
+                rng, kd, ka, kr, kb = jax.random.split(rng, 5)
+                ys, q_rows, dcache = drafter(dp, dcache, pending, pos,
+                                             history, hist_len, kd)
+                batch = jnp.concatenate([pending[None], ys[:D - 1]])
+                lg, tcache = forward(
+                    tcfg, tp, batch, pos, tcache, mm=eng._mm, attn=eng._attn,
+                    mm_idx=eng._mm_idx, attn_idx=tai, compute_dtype=eng._cdt)
+                p_rows = sampling.nucleus_dist(lg, temperature, topp)  # (D,V)
+
+                rows = jnp.arange(D - 1)
+                py = p_rows[rows, ys[:D - 1]]
+                qy = q_rows[rows, ys[:D - 1]]
+                u = jax.random.uniform(ka, (D - 1,))
+                ok = (u * qy < py).astype(jnp.int32)
+                a = jnp.sum(jnp.cumprod(ok))                     # 0..D-1
+                # rejected row a: residual resample; full accept: bonus row
+                pa = p_rows[a]
+                qa = q_rows[jnp.minimum(a, D - 2)]
+                resid = jnp.maximum(pa - qa, 0.0)
+                resid = jnp.where(resid.sum() > 1e-9, resid, pa)
+                t_rej = jax.random.categorical(
+                    kr, jnp.log(resid + 1e-30)).astype(jnp.int32)
+                t_bonus = jax.random.categorical(
+                    kb, jnp.log(p_rows[D - 1] + 1e-30)).astype(jnp.int32)
+                t_last = jnp.where(a < D - 1, t_rej, t_bonus)
+                emit = jnp.where(jnp.arange(D) == a, t_last, ys)  # (D,)
+                pending = emit[a]
+                pos = pos + a + 1
+                cur = jax.lax.dynamic_slice(history, (hist_len,), (D,))
+                seg = jnp.where(jnp.arange(D) <= a, emit, cur)
+                history = jax.lax.dynamic_update_slice(history, seg,
+                                                       (hist_len,))
+                hist_len = hist_len + a + 1
+                return (pending, pos, tcache, dcache, history, hist_len,
+                        rng), (emit, a)
+
+            carry = (pending, pos, tcache, dcache, history, hist_len, rng)
+            (pending, pos, tcache, dcache, history, hist_len, rng), \
+                (gs, accs) = jax.lax.scan(round_fn, carry, length=R)
+            return gs, accs, tcache, dcache, history, pending, pos, \
+                hist_len, rng
+
+        self._round_fns[key_] = jax.jit(chunk, donate_argnums=(2, 3, 6))
+        return self._round_fns[key_]
 
     def _get_chunk_rounds(self, R: int, s_bound: int = 0):
         """R spec rounds in ONE device call (a host round-trip per round —
@@ -193,8 +303,13 @@ class SpeculativeEngine:
 
     def generate(self, prompt, max_new_tokens: int = 512,
                  stop_tokens: Optional[Sequence[int]] = None,
-                 callback=None) -> Tuple[List[int], SpecStats]:
-        """Greedy generation; same contract as Engine.generate(temp=0)."""
+                 callback=None, temperature: float = 0.0, topp: float = 0.9,
+                 seed: int = 128391297) -> Tuple[List[int], SpecStats]:
+        """Speculative generation; same contract as Engine.generate.
+        temperature 0 verifies by argmax equality; temperature > 0 runs the
+        accept/residual-resample rule, whose output is distributed exactly
+        as plain sampling from the target."""
+        sampled = temperature > 0.0
         eng, D = self.engine, self.width
         cfg = eng.config
         tokens = (eng.encode(prompt) if isinstance(prompt, str)
@@ -231,7 +346,13 @@ class SpeculativeEngine:
         tcache = eng.new_cache()
         last_logits, tcache = eng._get_prefill(bucket)(
             eng.params, jnp.asarray(padded), tcache, len(tokens), 0)
-        pending = int(np.asarray(jnp.argmax(last_logits)))
+        rng = jax.random.PRNGKey(seed)
+        if sampled:
+            rng, k0 = jax.random.split(rng)
+            pending = int(np.asarray(sampling.sample_top_p(
+                last_logits, k0, temperature, topp)))
+        else:
+            pending = int(np.asarray(jnp.argmax(last_logits)))
         dcache = None
         if self.draft is not None:
             dr = self.draft
@@ -274,18 +395,29 @@ class SpeculativeEngine:
         inflight = []             # [(gs, accs)] dispatched, unread
         PIPE = 2                  # chunks in flight
 
+        rng_dev = rng
+
         def dispatch():
-            nonlocal tcache, dcache, history, pend_dev, pos_dev, hlen_dev
+            nonlocal tcache, dcache, history, pend_dev, pos_dev, hlen_dev, \
+                rng_dev
             # conservative position bound covers every in-flight chunk
             ub = pos_lb + (len(inflight) + 1) * R * D
             if ub >= seq_cap:
                 return False
             sb = (round_bound(ub, cfg.max_seq_len)
                   if eng._attn_idx_factory else 0)
-            fn = self._get_chunk_rounds(R, sb)
-            gs, accs, tcache, dcache, history, pend_dev, pos_dev, hlen_dev \
-                = fn(eng.params, dparams, tcache, dcache, pend_dev, pos_dev,
-                     history, hlen_dev)
+            if sampled:
+                fn = self._get_chunk_rounds_sampled(R, sb, temperature, topp)
+                gs, accs, tcache, dcache, history, pend_dev, pos_dev, \
+                    hlen_dev, rng_dev = fn(
+                        eng.params, dparams, tcache, dcache, pend_dev,
+                        pos_dev, history, hlen_dev, rng_dev)
+            else:
+                fn = self._get_chunk_rounds(R, sb)
+                gs, accs, tcache, dcache, history, pend_dev, pos_dev, \
+                    hlen_dev = fn(
+                        eng.params, dparams, tcache, dcache, pend_dev,
+                        pos_dev, history, hlen_dev)
             inflight.append((gs, accs))
             return True
 

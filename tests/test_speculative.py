@@ -92,3 +92,74 @@ def test_ngram_draft_lookup():
     # no match -> zeros
     np.testing.assert_array_equal(
         _ngram_draft(np.asarray([1, 2, 3], np.int32), 2, 2), [0, 0])
+
+
+def test_spec_accept_resample_preserves_target_distribution():
+    """Monte-Carlo check of the accept/residual-resample rule on a tiny
+    vocab: the emitted first token's marginal must equal the target
+    distribution p regardless of the draft distribution q."""
+    rng = np.random.default_rng(0)
+    V = 6
+    p = rng.random(V); p /= p.sum()
+    q = rng.random(V); q /= q.sum()
+    N = 200_000
+    ys = rng.choice(V, size=N, p=q)
+    u = rng.random(N)
+    accept = u * q[ys] < p[ys]
+    resid = np.maximum(p - q, 0.0)
+    resid = resid / resid.sum()
+    out = np.where(accept, ys, rng.choice(V, size=N, p=resid))
+    emp = np.bincount(out, minlength=V) / N
+    np.testing.assert_allclose(emp, p, atol=5e-3)
+
+
+def test_spec_sampled_same_draft_full_acceptance(engines):
+    """temperature > 0 with draft == target: q == p, so every draft is
+    accepted (u*q < p always) and speculative sampling reaches maximum
+    speed; output is deterministic per seed."""
+    target, same, _ = engines
+    spec = SpeculativeEngine(target, draft=same, width=4)
+    a, sa = spec.generate(PROMPT, max_new_tokens=N, stop_tokens=(),
+                          temperature=0.8, topp=1.0, seed=11)
+    b, sb = spec.generate(PROMPT, max_new_tokens=N, stop_tokens=(),
+                          temperature=0.8, topp=1.0, seed=11)
+    assert a == b and len(a) == N
+    assert sa.acceptance == 1.0
+    c, _ = spec.generate(PROMPT, max_new_tokens=N, stop_tokens=(),
+                         temperature=0.8, topp=1.0, seed=12)
+    assert c != a                      # seed actually matters
+
+
+def test_spec_sampled_ngram_and_unrelated_draft(engines):
+    """Sampled mode with rejections: n-gram (q = one-hot) and an unrelated
+    draft model both produce full-length, in-vocab outputs."""
+    target, _, other = engines
+    for spec in (SpeculativeEngine(target, draft=None, width=4, ngram=2),
+                 SpeculativeEngine(target, draft=other, width=4)):
+        toks, st = spec.generate(PROMPT, max_new_tokens=N, stop_tokens=(),
+                                 temperature=0.9, topp=0.9, seed=3)
+        assert len(toks) == N
+        assert all(0 <= t < target.config.vocab_size for t in toks)
+        assert st.drafted > 0
+
+
+def test_nucleus_dist_matches_sample_top_p_filter():
+    """nucleus_dist's support must be exactly the token set sample_top_p
+    can emit (same cutoff rule), so spec-sampling's p/q vectors describe
+    the same distribution plain sampling draws from."""
+    import jax
+    import jax.numpy as jnp
+    from fastllama_tpu.ops.sampling import nucleus_dist, sample_top_p
+
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.standard_normal(64).astype(np.float32) * 3)
+    for topp in (0.3, 0.9):
+        dist = np.asarray(nucleus_dist(logits, 0.7, topp))
+        support = set(np.nonzero(dist > 0)[0].tolist())
+        # sample many times; every emitted token must lie in the support
+        seen = set()
+        for s in range(300):
+            t = int(sample_top_p(logits, jax.random.PRNGKey(s), 0.7, topp))
+            seen.add(t)
+        assert seen <= support
+        np.testing.assert_allclose(dist.sum(), 1.0, rtol=1e-5)

@@ -211,10 +211,6 @@ def main(argv=None) -> int:
 
     spec = None
     if args.draft or args.spec:
-        if args.temperature > 0:
-            print("speculative decoding is greedy-only; use -t 0",
-                  file=sys.stderr)
-            return 2
         from fastllama_tpu.runtime.speculative import SpeculativeEngine
         draft_eng = None
         if args.draft:
@@ -242,7 +238,10 @@ def main(argv=None) -> int:
 
             if spec is not None:
                 toks, st = spec.generate(prompt, args.max_new_tokens,
-                                         callback=cb)
+                                         callback=cb,
+                                         temperature=args.temperature,
+                                         topp=args.topp,
+                                         seed=args.seed + r)
             else:
                 toks, st = eng.generate(prompt, args.max_new_tokens,
                                         args.temperature, args.topp,

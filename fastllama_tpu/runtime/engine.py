@@ -455,11 +455,23 @@ class ChatSession:
         return self.engine.config.max_seq_len - self.pos
 
     def feed(self, tokens: Sequence[int]) -> None:
-        """Prefill tokens at the current position (no sampling)."""
+        """Prefill tokens at the current position (no sampling).  Long
+        turns run as fixed-size blocks when EngineConfig.prefill_chunk is
+        set (same bounded-compile contract as Engine.generate)."""
         eng = self.engine
         if not tokens:
             return
-        bucket = eng._bucket(len(tokens))
+        C = eng.ec.prefill_chunk
+        if C and len(tokens) > C:
+            # only the FINAL block may be padded, so no padding row is ever
+            # attended by a later block
+            for s in range(0, len(tokens), C):
+                self._feed_block(list(tokens[s:s + C]), C)
+            return
+        self._feed_block(list(tokens), eng._bucket(len(tokens)))
+
+    def _feed_block(self, tokens: List[int], bucket: int) -> None:
+        eng = self.engine
         # the PADDED bucket must fit: the prefill writes `bucket` K/V rows
         # at self.pos, and dynamic_update_slice CLAMPS an out-of-range start
         # — an unchecked overflow would silently overwrite valid history

@@ -302,3 +302,34 @@ def test_cli_spec_and_prefix_flags(tmp_path, capsys):
                    "--prompts-file", str(pf)])
     assert rc == 0
     assert "served 2 requests" in capsys.readouterr().err
+
+
+def test_chat_session_chunked_feed(tmp_path):
+    """ChatSession.feed with prefill_chunk: a long turn prefills in blocks
+    and continues the conversation identically to the unchunked session."""
+    from fastllama_tpu.config import EngineConfig, ModelConfig
+    from fastllama_tpu.runtime.engine import ChatSession
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    cfg = ModelConfig(dim=64, hidden_dim=128, n_layers=2, n_heads=4,
+                      n_kv_heads=4, vocab_size=512, max_seq_len=256,
+                      group_size=16)
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=cfg)
+    turn = [(i * 7) % 500 + 1 for i in range(100)]
+
+    def run(chunk):
+        eng = Engine.load(ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+                          EngineConfig(max_seq_len=256,
+                                       compute_dtype="float32",
+                                       prefill_chunk=chunk))
+        s = ChatSession(eng)
+        s.feed(turn)
+        import jax.numpy as jnp
+        import numpy as np
+        return s.pos, np.asarray(s._last_logits)
+
+    pos_a, lg_a = run(0)
+    pos_b, lg_b = run(32)
+    assert pos_a == pos_b == 101
+    import numpy as np
+    np.testing.assert_allclose(lg_a, lg_b, rtol=2e-4, atol=2e-4)

@@ -216,6 +216,7 @@ def prefill_into_slot_at(cfg: ModelConfig, params: LlamaParams,
                          cache: BatchedKVCache, *,
                          mm: Callable = qmatmul,
                          mm_idx: Optional[Callable] = None,
+                         attn_tail: Optional[Callable] = None,
                          compute_dtype=jnp.float32
                          ) -> Tuple[jax.Array, BatchedKVCache]:
     """Mid-sequence slot prefill: run ``tokens`` (T,) at positions
@@ -246,18 +247,24 @@ def prefill_into_slot_at(cfg: ModelConfig, params: LlamaParams,
         q = apply_rope_half(q, cos[None], sin[None])
         k = apply_rope_half(k, cos[None], sin[None])
 
-        # attend the slot's existing rows + this block: place the fresh
-        # rows into a COPY of the layer's slot slice at [start, start+T)
-        # and run position-masked attention at pos=start (the copy is
-        # per-layer scratch, not the carried cache — no aliasing)
-        ck_l, cv_l = _layer_slices(cache, l, compute_dtype)   # (B, n_kv, S, hs)
-        ck_s = jax.lax.dynamic_index_in_dim(ck_l, slot, 0, keepdims=False)
-        cv_s = jax.lax.dynamic_index_in_dim(cv_l, slot, 0, keepdims=False)
-        kk = jax.lax.dynamic_update_slice(          # k is (n_kv, T, hs)
-            ck_s.astype(compute_dtype), k, (0, start, 0))
-        vv = jax.lax.dynamic_update_slice(
-            cv_s.astype(compute_dtype), v, (0, start, 0))
-        o = gqa_attention(q, kk, vv, start)
+        # attend the slot's existing rows + this block.  Fast path: the
+        # bounded-window T-row kernel reads cache rows [0, start) in place
+        # and merges the causal fresh block (ops/pallas/flash_decode.py).
+        # Fallback: place the fresh rows into a COPY of the layer's slot
+        # slice at [start, start+T) and run position-masked attention at
+        # pos=start (the copy is per-layer scratch, not the carried cache
+        # — no aliasing).
+        o = attn_tail(q, cache, slot, l, start, k, v) \
+            if attn_tail is not None else None
+        if o is None:
+            ck_l, cv_l = _layer_slices(cache, l, compute_dtype)
+            ck_s = jax.lax.dynamic_index_in_dim(ck_l, slot, 0, keepdims=False)
+            cv_s = jax.lax.dynamic_index_in_dim(cv_l, slot, 0, keepdims=False)
+            kk = jax.lax.dynamic_update_slice(      # k is (n_kv, T, hs)
+                ck_s.astype(compute_dtype), k, (0, start, 0))
+            vv = jax.lax.dynamic_update_slice(
+                cv_s.astype(compute_dtype), v, (0, start, 0))
+            o = gqa_attention(q, kk, vv, start)
         o = o.transpose(1, 0, 2).reshape(T, n_heads * hs)
         x = x + proj(o, params.wo, l)
 

@@ -295,6 +295,187 @@ def round_bound(s_bound: int, S: int, block_s: int = DEFAULT_BLOCK) -> int:
     return min(-(-s_bound // bs) * bs, S)
 
 
+def _flash_block_kernel(scalars_ref, q_ref, k_ref, v_ref, *rest,
+                        scale: float, block_s: int, nblocks: int, T: int,
+                        quantized: bool = False):
+    """T-query-row bounded attention for ONE slot: cache rows [0, start)
+    plus a causal fresh block of T rows (the prefix-cache tail prefill and
+    mid-sequence chunk prefill shape).  Grid (n_kv//HB, NB); scalars =
+    [layer, slot, start].  Blocks: q (HB, hgs, T, hs), cache k/v
+    (1, 1, HB, block_s, hs), scales (1, 1, HB, block_s), fresh k/v
+    (HB, T, hs).  Scratch rows (HB*hgs*T, .)."""
+    rest = list(rest)
+    ks_ref = vs_ref = None
+    if quantized:
+        ks_ref, vs_ref = rest[0], rest[1]
+        rest = rest[2:]
+    kn_ref, vn_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    j = pl.program_id(1)
+    HB, hgs, _, hs = q_ref.shape
+    R = HB * hgs * T
+    start = scalars_ref[2]
+    cap = (start - 1) // block_s                   # strict: block not in cache
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    def qrows():
+        q = q_ref[:].astype(jnp.float32)           # (HB, hgs, T, hs)
+        return q.reshape(HB, hgs * T, hs)
+
+    @pl.when(j <= cap)
+    def _():
+        q = qrows()
+        k = k_ref[0, 0].astype(jnp.float32)        # (HB, BS, hs)
+        v = v_ref[0, 0].astype(jnp.float32)
+        s = jnp.concatenate([
+            jax.lax.dot_general(
+                q[h], k[h], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for h in range(HB)], axis=0) * scale   # (R, BS)
+        if quantized:
+            ks = ks_ref[0, 0]                      # (HB, BS)
+            s = s * jnp.repeat(ks, hgs * T, axis=0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, block_s), 1) \
+            + j * block_s
+        s = jnp.where(col < start, s, NEG_INF)     # strict: cache part only
+
+        m = m_scr[:, :1]
+        m2 = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        corr = jnp.exp(m - m2)
+        e = jnp.exp(s - m2)
+        m_scr[:, :1] = m2
+        l_scr[:, :1] = l_scr[:, :1] * corr + jnp.sum(e, axis=-1,
+                                                     keepdims=True)
+        if quantized:
+            e = e * jnp.repeat(vs_ref[0, 0], hgs * T, axis=0)
+        pv = jnp.concatenate([
+            jax.lax.dot_general(
+                e[h * hgs * T:(h + 1) * hgs * T], v[h],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for h in range(HB)], axis=0)
+        acc_scr[:] = acc_scr[:] * corr + pv
+
+    @pl.when(j == nblocks - 1)
+    def _():
+        # causal self-attention over the fresh block, merged into the
+        # online softmax in full precision
+        q = qrows()
+        kn = kn_ref[:].astype(jnp.float32)         # (HB, T, hs)
+        vn = vn_ref[:].astype(jnp.float32)
+        s_blk = jnp.concatenate([
+            jax.lax.dot_general(
+                q[h], kn[h], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for h in range(HB)], axis=0) * scale   # (R, T)
+        row_t = jax.lax.broadcasted_iota(jnp.int32, (R, T), 0) % T
+        col_t = jax.lax.broadcasted_iota(jnp.int32, (R, T), 1)
+        s_blk = jnp.where(col_t <= row_t, s_blk, NEG_INF)
+        m = m_scr[:, :1]
+        m2 = jnp.maximum(m, jnp.max(s_blk, axis=-1, keepdims=True))
+        corr = jnp.exp(m - m2)
+        e = jnp.exp(s_blk - m2)
+        l2 = l_scr[:, :1] * corr + jnp.sum(e, axis=-1, keepdims=True)
+        pv = jnp.concatenate([
+            jax.lax.dot_general(
+                e[h * hgs * T:(h + 1) * hgs * T], vn[h],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for h in range(HB)], axis=0)
+        acc = acc_scr[:] * corr + pv
+        o_ref[:] = (acc / l2).reshape(HB, hgs, T, hs).astype(o_ref.dtype)
+
+
+def flash_block_attend(q: jax.Array, ck: jax.Array, cv: jax.Array,
+                       slot, layer, start, s_bound: int = 0,
+                       block_s: int = DEFAULT_BLOCK,
+                       interpret: bool = False,
+                       k_scale=None, v_scale=None,
+                       k_new=None, v_new=None) -> jax.Array:
+    """T-row attention for one slot of the stacked batched cache: rows
+    [0, start) of slot ``slot`` / layer ``layer`` plus the causal fresh
+    block.  q (n_heads, T, hs); caches (L, B, n_kv, S, hs); k_new/v_new
+    (n_kv, T, hs); slot/layer/start traced.  Returns (n_heads, T, hs)."""
+    n_heads, T, hs = q.shape
+    L, B, n_kv, S, _ = ck.shape
+    s_bound = min(s_bound or S, S)
+    NB = -(-s_bound // block_s)
+    HB = _head_block(n_kv)
+    hgs = n_heads // n_kv
+    qh = q.reshape(n_kv, hgs, T, hs)
+    scalars = jnp.stack([jnp.asarray(layer, jnp.int32),
+                         jnp.asarray(slot, jnp.int32),
+                         jnp.asarray(start, jnp.int32)])
+    quantized = k_scale is not None
+
+    kernel = functools.partial(
+        _flash_block_kernel, scale=1.0 / float(hs) ** 0.5, block_s=block_s,
+        nblocks=NB, T=T, quantized=quantized)
+    kv_spec = pl.BlockSpec((1, 1, HB, block_s, hs),
+                           lambda h, j, s: (s[0], s[1], h, j, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((HB, hgs, T, hs), lambda h, j, s: (h, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        kv_spec, kv_spec,
+    ]
+    operands = [qh, ck, cv]
+    if quantized:
+        sc_spec = pl.BlockSpec((1, 1, HB, block_s),
+                               lambda h, j, s: (s[0], s[1], h, j),
+                               memory_space=pltpu.VMEM)
+        in_specs += [sc_spec, sc_spec]
+        operands += [k_scale, v_scale]
+    fr_spec = pl.BlockSpec((HB, T, hs), lambda h, j, s: (h, 0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs += [fr_spec, fr_spec]
+    operands += [k_new, v_new]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_kv // HB, NB),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((HB, hgs, T, hs), lambda h, j, s: (h, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((HB * hgs * T, 128), jnp.float32),
+            pltpu.VMEM((HB * hgs * T, 128), jnp.float32),
+            pltpu.VMEM((HB * hgs * T, hs), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_kv, hgs, T, hs), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_heads * T * (s_bound + T) * hs * 2,
+            bytes_accessed=2 * n_kv * s_bound * hs * ck.dtype.itemsize,
+            transcendentals=n_heads * T * (s_bound + T)),
+        interpret=interpret,
+    )(scalars, *operands)
+    return out.reshape(n_heads, T, hs)
+
+
+def make_attn_tail(s_bound: int = 0, interpret: bool = False):
+    """attn_tail(q, cache, slot, layer, start, k_new, v_new) for
+    models.batched.prefill_into_slot_at — bounded-window kernel over the
+    slot's existing rows + causal fresh block; jnp fallback otherwise.
+    q (n_heads, T, hs); k_new/v_new (n_kv, T, hs)."""
+    def attn_tail(q, cache, slot, layer, start, k_new, v_new):
+        bs = _block_size(cache.k.shape[3])
+        if q.shape[2] % 8 == 0 and bs and q.shape[1] * q.shape[0] <= 4096:
+            return flash_block_attend(
+                q, cache.k, cache.v, slot, layer, start, s_bound, bs,
+                interpret, k_scale=cache.k_scale, v_scale=cache.v_scale,
+                k_new=k_new, v_new=v_new)
+        return None                                  # caller falls back
+
+    return attn_tail
+
+
 def make_attn_batched_flash(s_bound: int = 0, interpret: bool = False):
     """attn_bidx(q, cache, pos, layer, k_new, v_new) for
     models.batched.decode_step: bounded-window kernel over cache rows

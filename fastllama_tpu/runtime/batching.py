@@ -284,9 +284,13 @@ class BatchedEngine:
         """Mid-sequence single-slot prefill (the prefix-cache tail path)."""
         if bucket not in self._tail_fns:
             cfg, mm, mi, cdt = self.config, self._mm, self._mm_idx, self._cdt
-            from fastllama_tpu.models.batched import prefill_into_slot_at
-
-            from fastllama_tpu.models.batched import copy_slot_prefix
+            from fastllama_tpu.models.batched import (copy_slot_prefix,
+                                                      prefill_into_slot_at)
+            at = None
+            if self._attn_bidx is not None:     # pallas attention active
+                from fastllama_tpu.ops.pallas.flash_decode import \
+                    make_attn_tail
+                at = make_attn_tail(interpret=self.ec.pallas_interpret)
 
             def f(params, tokens, length, slot, donor, start, cache, key,
                   temp, topp):
@@ -296,7 +300,7 @@ class BatchedEngine:
                 cache = copy_slot_prefix(cache, donor, slot, start)
                 logits, cache = prefill_into_slot_at(
                     cfg, params, tokens, length, slot, start, cache,
-                    mm=mm, mm_idx=mi, compute_dtype=cdt)
+                    mm=mm, mm_idx=mi, attn_tail=at, compute_dtype=cdt)
                 tok = sampling.sample_batched(
                     logits[None], key[None], temp[None], topp[None])[0]
                 return tok, cache

@@ -49,3 +49,45 @@ def test_make_attn_prefill_fallback():
     ref = gqa_attention(q, kc, vc, 0)
     got = attn(q, kc, vc, 0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+
+def test_flash_block_tail_kernel_matches_jnp():
+    """The T-row bounded-window kernel (prefix-cache tail prefill) must
+    match the jnp copy-and-mask path: fp32/int8 caches, GQA, traced
+    slot/layer/start."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from functools import partial
+    from fastllama_tpu.config import ModelConfig
+    from fastllama_tpu.models.batched import (BatchedKVCache,
+                                              prefill_into_slot_at)
+    from fastllama_tpu.models.llama import random_params
+    from fastllama_tpu.ops.pallas.flash_decode import make_attn_tail
+
+    cfg = ModelConfig(dim=128, hidden_dim=256, n_layers=2, n_heads=8,
+                      n_kv_heads=4, vocab_size=256, max_seq_len=64,
+                      group_size=16)
+    params = random_params(cfg, seed=2)
+    rng = np.random.default_rng(0)
+    for kv in ("float32", "int8"):
+        cache = BatchedKVCache.create(cfg, 3, dtype=jnp.dtype(kv))
+        # populate slot 1 with a 24-token "prefix" via a fresh prefill
+        from fastllama_tpu.models.batched import prefill_into_slot
+        pref = jnp.asarray(rng.integers(1, 250, 24), jnp.int32)
+        _, cache = prefill_into_slot(cfg, params, pref, 24, 1, cache,
+                                     compute_dtype=jnp.float32)
+        tail = jnp.asarray(rng.integers(1, 250, 16), jnp.int32)
+
+        ref_lg, ref_cache = jax.jit(partial(
+            prefill_into_slot_at, cfg, compute_dtype=jnp.float32))(
+            params, tail, 13, 1, 24, cache)
+        got_lg, got_cache = jax.jit(partial(
+            prefill_into_slot_at, cfg,
+            attn_tail=make_attn_tail(interpret=True),
+            compute_dtype=jnp.float32))(params, tail, 13, 1, 24, cache)
+        np.testing.assert_allclose(np.asarray(got_lg), np.asarray(ref_lg),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(got_cache.k),
+                                   np.asarray(ref_cache.k),
+                                   rtol=2e-3, atol=2e-3)

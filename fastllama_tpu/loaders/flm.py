@@ -34,6 +34,10 @@ from fastllama_tpu.loaders.tokenizer import Tokenizer
 from fastllama_tpu.quant.groupquant import quantize_np
 
 FLM_FILE_TAG = 0xFA571AEA
+# files containing DT_INT4X extension blocks use this tag so the reference
+# loader (which only checks the tag, flm_loader.cpp:575) fails cleanly
+# instead of misparsing the unknown data type
+FLM_FILE_TAG_X4 = 0xFA571AEB
 
 # BlockType (flm_loader.cpp:22-30)
 BT_BASE_ITEM, BT_DICT, BT_TENSOR, BT_ARRAY, BT_STRING, BT_STRING_ARRAY = range(6)
@@ -45,8 +49,12 @@ DT_FLOAT16, DT_FLOAT32, DT_FLOAT64, DT_BLOCK = 10, 11, 12, 15
 # EXTENSION (ours): packed INT4 tensor data — Bit4Pair bytes (low nibble =
 # even element, high = odd, quant_operators.h:25-31) with the block's shape4
 # holding the LOGICAL shape.  The reference's DataType enum tops out at
-# BLOCK=15 and its loader rejects unknown types, so INT4 files are readable
-# only by this engine; INT8/INT16 files remain fully interchangeable.
+# BLOCK=15 but its loader maps unknown data_types to QuantType::NONE and
+# falls back to fp32 byte counts (flm_loader.cpp:32-46) — it would MISPARSE
+# an INT4 block rather than reject it — so INT4 files are written under a
+# distinct file tag (FLM_FILE_TAG_X4) the reference refuses outright
+# (flm_loader.cpp:575).  INT8/INT16 files keep the standard tag and remain
+# fully interchangeable.
 DT_INT4X = 20
 
 _DT_NP = {DT_INT8: np.int8, DT_INT16: np.int16, DT_INT32: np.int32,
@@ -70,7 +78,8 @@ SPECIAL_MAX = 8  # SpecialTokenType::MAX (tokenizer.h:30-36)
 def is_flm(path: str) -> bool:
     try:
         with open(path, "rb") as f:
-            return struct.unpack("<I", f.read(4))[0] == FLM_FILE_TAG
+            return struct.unpack("<I", f.read(4))[0] in (FLM_FILE_TAG,
+                                                         FLM_FILE_TAG_X4)
     except (OSError, struct.error):
         return False
 
@@ -231,7 +240,8 @@ def write_flm(path: str, cfg: ModelConfig, tokenizer: Tokenizer,
     ``rope_convention`` ('half' = HF layout, permuted to interleaved on
     write)."""
     with open(path, "wb") as fh:
-        fh.write(struct.pack("<IBBH", FLM_FILE_TAG, 1, 0, 0))
+        tag = FLM_FILE_TAG_X4 if qtype == QuantType.INT4 else FLM_FILE_TAG
+        fh.write(struct.pack("<IBBH", tag, 1, 0, 0))
         w = _Writer(fh)
         w.block("model_config", _serialize_config(cfg, qtype), BT_DICT)
         w.block("tokenizer", _serialize_tokenizer(tokenizer), BT_DICT)
@@ -411,7 +421,7 @@ def load_flm(path: str, tokenizer_only: bool = False
 
     with open(path, "rb") as f:
         tag, v1, v2, v3 = struct.unpack("<IBBH", f.read(8))
-        if tag != FLM_FILE_TAG:
+        if tag not in (FLM_FILE_TAG, FLM_FILE_TAG_X4):
             raise ValueError(f"not an FLM file: {path}")
         while f.tell() < fsize:
             b = _read_block(f)

@@ -299,6 +299,31 @@ class SpeculativeEngine:
         self._round_fns[key_] = jax.jit(chunk, donate_argnums=(2, 3, 6))
         return self._round_fns[key_]
 
+    def _get_plain_step(self, sampled: bool, temperature: float, topp: float):
+        """One plain target decode token — the context-limit tail path (a
+        D-row verify block no longer fits, so speculation must stop but the
+        generation contract still runs to max_new_tokens/seq_cap)."""
+        key_ = ("plain", sampled, temperature, topp)
+        if key_ in self._round_fns:
+            return self._round_fns[key_]
+        eng = self.engine
+        tcfg = eng.config
+
+        def stepfn(tp, tcache, pending, pos, rng):
+            lg, tcache = forward(
+                tcfg, tp, pending[None], pos, tcache, mm=eng._mm,
+                attn=eng._attn, mm_idx=eng._mm_idx, attn_idx=eng._attn_idx,
+                compute_dtype=eng._cdt)
+            if sampled:
+                rng, k = jax.random.split(rng)
+                nxt = sampling.sample_top_p(lg[0], k, temperature, topp)
+            else:
+                nxt = jnp.argmax(lg[0]).astype(jnp.int32)
+            return nxt, tcache, pos + 1, rng
+
+        self._round_fns[key_] = jax.jit(stepfn, donate_argnums=(1,))
+        return self._round_fns[key_]
+
     # -- generation ----------------------------------------------------------
 
     def generate(self, prompt, max_new_tokens: int = 512,
@@ -401,19 +426,26 @@ class SpeculativeEngine:
             nonlocal tcache, dcache, history, pend_dev, pos_dev, hlen_dev, \
                 rng_dev
             # conservative position bound covers every in-flight chunk
-            ub = pos_lb + (len(inflight) + 1) * R * D
-            if ub >= seq_cap:
+            # (each dispatched chunk of r rounds advances pos by <= r*D)
+            ub_base = pos_lb + sum(g.shape[0] for g, _ in inflight) * D
+            # shrink the final chunk's round count so a nearly-full context
+            # still speculates (a full-R gate here starved short-room
+            # generations down to the prefill token alone)
+            r_fit = (seq_cap - ub_base) // D
+            if r_fit < 1:
                 return False
+            Ru = min(R, r_fit)
+            ub = ub_base + Ru * D
             sb = (round_bound(ub, cfg.max_seq_len)
                   if eng._attn_idx_factory else 0)
             if sampled:
-                fn = self._get_chunk_rounds_sampled(R, sb, temperature, topp)
+                fn = self._get_chunk_rounds_sampled(Ru, sb, temperature, topp)
                 gs, accs, tcache, dcache, history, pend_dev, pos_dev, \
                     hlen_dev, rng_dev = fn(
                         eng.params, dparams, tcache, dcache, pend_dev,
                         pos_dev, history, hlen_dev, rng_dev)
             else:
-                fn = self._get_chunk_rounds(R, sb)
+                fn = self._get_chunk_rounds(Ru, sb)
                 gs, accs, tcache, dcache, history, pend_dev, pos_dev, \
                     hlen_dev = fn(
                         eng.params, dparams, tcache, dcache, pend_dev,
@@ -424,8 +456,8 @@ class SpeculativeEngine:
         def consume() -> None:
             nonlocal stop, pos_lb
             gs, accs = inflight.pop(0)
-            gs, accs = np.asarray(gs), np.asarray(accs)     # (R, D), (R,)
-            for r in range(R):
+            gs, accs = np.asarray(gs), np.asarray(accs)   # (Ru, D), (Ru,)
+            for r in range(gs.shape[0]):
                 a = int(accs[r])
                 stats.rounds += 1
                 stats.drafted += D - 1
@@ -447,7 +479,21 @@ class SpeculativeEngine:
             if not inflight:
                 break
             consume()
-        # unread in-flight chunks only wrote past-stop rows; drop them
+        # unread in-flight chunks only wrote past-stop rows; drop them.
+        # If speculation ran out of context room (no D-row verify block fits
+        # before seq_cap) finish with plain per-token decode — same contract
+        # as Engine.generate right up to the context limit.  Device state is
+        # consistent here: the loop above only exits un-stopped with every
+        # dispatched chunk consumed.
+        while not stop and len(out) < max_new_tokens \
+                and pos_lb < cfg.max_seq_len:
+            fn = self._get_plain_step(sampled, temperature, topp)
+            pend_dev, tcache, pos_dev, rng_dev = fn(
+                eng.params, tcache, pend_dev, pos_dev, rng_dev)
+            tok = int(np.asarray(pend_dev))
+            pos_lb += 1
+            if not emit(tok) or tok in stop_set:
+                stop = True
 
         stats.output_tokens = len(out)
         stats.decode_s = time.perf_counter() - t0

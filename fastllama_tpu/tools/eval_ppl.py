@@ -33,8 +33,12 @@ def evaluate(engine, token_ids: List[int], window: int = 512) -> float:
     cfg = engine.config
     window = min(window, cfg.max_seq_len)
     total_nll, total_n = 0.0, 0
+    # thread the layer-indexed kernels too: the gate must score the SAME
+    # code path Engine.generate compiles (VERDICT r2 weak #7 — omitting
+    # mm_idx/attn_idx scored the dynamic-slice fallback instead)
     fwd = jax.jit(lambda p, t, c: forward(
         cfg, p, t, 0, c, mm=engine._mm, attn=engine._attn,
+        mm_idx=engine._mm_idx, attn_idx=engine._attn_idx,
         compute_dtype=engine._cdt))
     for start in range(0, max(len(token_ids) - 1, 1), window - 1):
         chunk = token_ids[start:start + window]

@@ -163,3 +163,27 @@ def test_nucleus_dist_matches_sample_top_p_filter():
             seen.add(t)
         assert seen <= support
         np.testing.assert_allclose(dist.sum(), 1.0, rtol=1e-5)
+
+
+def test_spec_near_context_limit_matches_greedy(engines):
+    """ADVICE r2 regression: with < R*D tokens of room before max_seq the
+    engine must still emit the full generation (shrunken final chunk +
+    plain-decode tail), not just the prefill token."""
+    target, same, _ = engines
+    long_prompt = (PROMPT * 16)[:90]              # 90 of max_seq 128
+    want, _ = target.generate(long_prompt, max_new_tokens=38,
+                              temperature=0.0, stop_tokens=(),
+                              decode_chunk=8)
+    spec = SpeculativeEngine(target, draft=same, width=8, rounds_per_call=8)
+    got, st = spec.generate(long_prompt, max_new_tokens=38, stop_tokens=())
+    assert got == want
+    assert len(got) == 38
+
+
+def test_spec_near_context_limit_sampled_completes(engines):
+    target, same, _ = engines
+    long_prompt = (PROMPT * 16)[:100]
+    spec = SpeculativeEngine(target, draft=same, width=8, rounds_per_call=8)
+    got, _ = spec.generate(long_prompt, max_new_tokens=27, stop_tokens=(),
+                           temperature=0.7, topp=0.9, seed=7)
+    assert len(got) == 27

@@ -56,6 +56,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bit-faithful reference math (slow)")
     p.add_argument("--no-pallas", action="store_true",
                    help="disable fused Pallas kernels")
+    p.add_argument("--spmd-kernels", action="store_true",
+                   help="multi-device mesh: run the fused kernels per shard "
+                        "under shard_map (explicit TP with per-layer psums) "
+                        "instead of the GSPMD jnp path")
+    p.add_argument("--multihost", action="store_true",
+                   help="--mode serve: serve across jax.distributed "
+                        "processes (per-host admission over the 'data' "
+                        "axis; call jax.distributed.initialize first or "
+                        "set JAX_COORDINATOR_ADDRESS etc.)")
     p.add_argument("-e", "--encode", default="", help="encode text to tokens")
     p.add_argument("-d", "--decode", default="", help="decode ids (comma-sep)")
     p.add_argument("--detail", action="store_true")
@@ -75,7 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(bounds compile time/memory on long contexts)")
     p.add_argument("--draft", default="",
                    help="draft checkpoint for speculative decoding "
-                        "(greedy only; --spec-width tokens per verify)")
+                        "(--spec-width tokens per verify; temperature 0 "
+                        "verifies greedily, temperature > 0 uses "
+                        "distribution-preserving speculative sampling)")
     p.add_argument("--spec", action="store_true",
                    help="draft-free speculative decoding (n-gram "
                         "prompt-lookup)")
@@ -87,23 +98,36 @@ def build_parser() -> argparse.ArgumentParser:
 
 def serve_mode(args) -> int:
     """Continuous-batching batch job: read prompts (file or stdin), serve
-    them through BatchedEngine slots, print completions + aggregate stats."""
-    from fastllama_tpu.runtime.batching import BatchedEngine
-
+    them through BatchedEngine slots (or MultiHostEngine with --multihost),
+    print completions + aggregate stats."""
     ec = EngineConfig(max_seq_len=args.max_seq_len, kv_dtype=args.kv_dtype,
                       use_pallas=not args.no_pallas, mesh=args.mesh,
                       max_batch_size=args.batch,
-                      prefix_cache=args.prefix_cache)
-    eng = BatchedEngine.load(args.checkpoint, args.tokenizer,
-                             FileType.parse(args.file_type),
-                             QuantType.parse(args.quant), ec,
-                             decode_chunk=args.decode_chunk)
+                      prefix_cache=args.prefix_cache,
+                      spmd_kernels=args.spmd_kernels)
+    if args.multihost:
+        from fastllama_tpu.runtime.multihost import MultiHostEngine
+        eng = MultiHostEngine.load(args.checkpoint, args.tokenizer,
+                                   FileType.parse(args.file_type),
+                                   QuantType.parse(args.quant), ec,
+                                   decode_chunk=args.decode_chunk)
+    else:
+        from fastllama_tpu.runtime.batching import BatchedEngine
+        eng = BatchedEngine.load(args.checkpoint, args.tokenizer,
+                                 FileType.parse(args.file_type),
+                                 QuantType.parse(args.quant), ec,
+                                 decode_chunk=args.decode_chunk)
     if args.prompts_file:
         with open(args.prompts_file, encoding="utf-8") as f:
             prompts = [ln.rstrip("\n") for ln in f if ln.strip()]
     else:
         prompts = [ln.rstrip("\n") for ln in sys.stdin if ln.strip()]
-    if not prompts:
+    if args.multihost:
+        # each host serves its own share of the prompt list, round-robin by
+        # process index (a shared file on every host serves distinct rows)
+        import jax
+        prompts = prompts[jax.process_index()::max(1, jax.process_count())]
+    if not prompts and not args.multihost:
         print("no prompts", file=sys.stderr)
         return 2
     reqs = [eng.submit(pr, max_new_tokens=args.max_new_tokens,
@@ -118,6 +142,10 @@ def serve_mode(args) -> int:
           f"{stats.aggregate_tps:.1f} tok/s | {stats.total_output_tokens} "
           f"tokens in {stats.decode_s:.2f}s (+{stats.prefill_s:.2f}s prefill)",
           file=sys.stderr)
+    if args.multihost:
+        g = eng.global_stats()
+        print(f"fleet: {g.completed} requests | aggregate decode "
+              f"{g.aggregate_tps:.1f} tok/s across hosts", file=sys.stderr)
     return 0
 
 
@@ -185,7 +213,8 @@ def main(argv=None) -> int:
 
     ec = EngineConfig(max_seq_len=args.max_seq_len, kv_dtype=args.kv_dtype,
                       use_pallas=not args.no_pallas, parity_mode=args.parity,
-                      mesh=args.mesh, prefill_chunk=args.prefill_chunk)
+                      mesh=args.mesh, prefill_chunk=args.prefill_chunk,
+                      spmd_kernels=args.spmd_kernels)
     if args.detail or args.debug:
         print(f"checkpoint: {args.checkpoint}\nquant: {qtype.name}\n"
               f"temperature: {args.temperature}  top_p: {args.topp}",

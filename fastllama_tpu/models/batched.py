@@ -327,6 +327,7 @@ def prefill_many(cfg: ModelConfig, params: LlamaParams,
                  cache: BatchedKVCache, *,
                  mm: Callable = qmatmul,
                  mm_idx: Optional[Callable] = None,
+                 slot_writer: Optional[Callable] = None,
                  compute_dtype=jnp.float32
                  ) -> Tuple[jax.Array, BatchedKVCache]:
     """Prefill N prompts into N slots in ONE device call.
@@ -372,9 +373,23 @@ def prefill_many(cfg: ModelConfig, params: LlamaParams,
           params.attn_norm, params.ffn_norm)
     x, (ks, vs) = jax.lax.scan(scan_fn, x, xs)    # (L, N, n_kv, T, hs)
 
-    new_cache = cache
-    for n in range(N):
-        new_cache = _write_slot(new_cache, ks[:, n], vs[:, n], slots[n])
+    if slot_writer is not None:
+        # all N prompts' stacks land in ONE in-place kernel launch
+        # (ops/pallas/kv_write.py) instead of 4·N slab updates
+        from fastllama_tpu.quant.groupquant import quantize_rows
+        if cache.quantized:
+            kq, ks_ = quantize_rows(ks)
+            vq, vs_ = quantize_rows(vs)
+            new_cache = slot_writer(cache, kq, vq, ks_[..., 0], vs_[..., 0],
+                                    slots)
+        else:
+            new_cache = slot_writer(cache, ks.astype(cache.k.dtype),
+                                    vs.astype(cache.v.dtype), None, None,
+                                    slots)
+    else:
+        new_cache = cache
+        for n in range(N):
+            new_cache = _write_slot(new_cache, ks[:, n], vs[:, n], slots[n])
 
     # classifier on each prompt's last valid row only
     x = rmsnorm(x, params.out_norm, cfg.norm_eps).reshape(N, T, -1)
@@ -389,6 +404,7 @@ def decode_step(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array,
                 mm: Callable = qmatmul,
                 mm_idx: Optional[Callable] = None,
                 attn_bidx: Optional[Callable] = None,
+                kv_writer: Optional[Callable] = None,
                 compute_dtype=jnp.float32
                 ) -> Tuple[jax.Array, BatchedKVCache]:
     """One decode token for every slot: tokens (B,) at per-slot positions
@@ -444,25 +460,32 @@ def decode_step(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array,
           params.attn_norm, params.ffn_norm)
     x, (ks, vs) = jax.lax.scan(scan_fn, x, xs)      # (L, B, n_kv, hs)
 
-    # land all layers' new rows: B slab updates of (L, 1, n_kv, 1, hs)
-    ck, cv = cache.k, cache.v
-    ksc, vsc = cache.k_scale, cache.v_scale
+    # land all layers' new rows
     if cache.quantized:
         kq, ks_ = quantize_rows(ks)                 # (L, B, n_kv, hs/1)
         vq, vs_ = quantize_rows(vs)
+        ks2, vs2 = ks_[..., 0], vs_[..., 0]
     else:
-        kq, vq = ks.astype(ck.dtype), vs.astype(cv.dtype)
-    for b in range(B):
-        ck = jax.lax.dynamic_update_slice(
-            ck, kq[:, b][:, None, :, None], (0, b, 0, pos[b], 0))
-        cv = jax.lax.dynamic_update_slice(
-            cv, vq[:, b][:, None, :, None], (0, b, 0, pos[b], 0))
-        if cache.quantized:
-            ksc = jax.lax.dynamic_update_slice(
-                ksc, ks_[..., 0][:, b][:, None, :, None], (0, b, 0, pos[b]))
-            vsc = jax.lax.dynamic_update_slice(
-                vsc, vs_[..., 0][:, b][:, None, :, None], (0, b, 0, pos[b]))
-    new_cache = BatchedKVCache(ck, cv, ksc, vsc)
+        kq, vq = ks.astype(cache.k.dtype), vs.astype(cache.v.dtype)
+        ks2 = vs2 = None
+    if kv_writer is not None:
+        # one in-place kernel launch for every slot (ops/pallas/kv_write.py)
+        new_cache = kv_writer(cache, kq, vq, ks2, vs2, pos)
+    else:
+        # fallback: B slab updates of (L, 1, n_kv, 1, hs)
+        ck, cv = cache.k, cache.v
+        ksc, vsc = cache.k_scale, cache.v_scale
+        for b in range(B):
+            ck = jax.lax.dynamic_update_slice(
+                ck, kq[:, b][:, None, :, None], (0, b, 0, pos[b], 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, vq[:, b][:, None, :, None], (0, b, 0, pos[b], 0))
+            if cache.quantized:
+                ksc = jax.lax.dynamic_update_slice(
+                    ksc, ks2[:, b][:, None, :, None], (0, b, 0, pos[b]))
+                vsc = jax.lax.dynamic_update_slice(
+                    vsc, vs2[:, b][:, None, :, None], (0, b, 0, pos[b]))
+        new_cache = BatchedKVCache(ck, cv, ksc, vsc)
 
     x = rmsnorm(x, params.out_norm, cfg.norm_eps)
     logits = mm(x, params.classifier)                               # (B, V)

@@ -1,29 +1,37 @@
-"""EXPERIMENTAL: decode step under shard_map with per-shard kernels.
+"""Decode/prefill steps under shard_map with per-shard kernels.
 
-The engines' mesh mode today relies on GSPMD auto-partitioning of the jnp
+The engines' default mesh mode relies on GSPMD auto-partitioning of the jnp
 path — correct, but the fused Pallas kernels are single-device programs and
-get disabled on a multi-device mesh.  This module is the round-2 direction
-(NEXT.md #1): express the batched decode step explicitly per shard with
-``shard_map``, so each device runs the SAME fused kernels on its local
-weight/KV shards and the only collectives are the two per-layer ``psum``s
-after the row-parallel projections (wo, w2) — exactly the schedule a
-hand-written TP engine uses.
+get disabled on a multi-device mesh.  This module expresses the batched
+steps explicitly per shard with ``shard_map``, so each device runs the SAME
+fused kernels on its local weight/KV shards and the only collectives are
+the two per-layer ``psum``s after the row-parallel projections (wo, w2) —
+exactly the schedule a hand-written TP engine uses.
 
 Sharding contract (matches parallel/sharding.py):
   wq/wk/wv/w1/w3  (L, I, Olocal)   col-parallel over 'model'
   wo/w2           (L, Ilocal, O)   row-parallel -> psum
-  KV cache        (L, B, kvlocal, S, hs)
-  norms, x        replicated; embedding/classifier vocab-sharded (the
+  KV cache        (L, Blocal, kvlocal, S, hs)
+  norms           replicated; embedding/classifier vocab-sharded (the
   embed/classifier stay OUTSIDE the shard_map here: XLA handles a sharded
   gather/matmul well, and logits need a global argmax anyway)
 
-Status: validated against the replicated decode_step on the virtual CPU
-mesh (tests/test_spmd_step.py) with interpret-mode kernels; single-chip TPU
-runs use the engines' normal path.  Wiring into BatchedEngine is round-2.
+``data_sharded=True`` additionally splits the batch/slot axis over the
+'data' mesh axis — the multi-host serving layout (runtime/multihost.py):
+each host's slots live on its own chips, activations cross hosts only at
+the logits, and EVERY shard runs the fused hot loop on its local slots
+(the reference's every-worker-hot-loop design, transformer.cpp:253-384,
+x86_simd.cpp:1647-1674, re-expressed for a TPU mesh).  Slot ids passed to
+the prefill are then DATA-SHARD-LOCAL.
+
+Status: live in BOTH engines (EngineConfig.spmd_kernels — Engine and
+BatchedEngine select this path on a multi-device mesh) and in
+MultiHostEngine; validated against the replicated steps on the virtual CPU
+mesh (tests/test_spmd_step.py) and at the engine level with interpret-mode
+kernels.  Single-chip TPU runs use the engines' normal path.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -36,8 +44,35 @@ from fastllama_tpu.models.llama import LlamaParams, embed_tokens
 from fastllama_tpu.ops.attention import gqa_attention_decode_batched
 from fastllama_tpu.ops.norms import rmsnorm, swiglu
 from fastllama_tpu.ops.rope import apply_rope_half, rope_tables
-from fastllama_tpu.parallel.sharding import MODEL_AXIS
-from fastllama_tpu.quant.groupquant import QArray, quantize_rows
+from fastllama_tpu.parallel.sharding import DATA_AXIS, MODEL_AXIS
+from fastllama_tpu.quant.groupquant import quantize_rows
+
+
+def _shard_map(body, mesh, in_specs, out_specs):
+    try:
+        from jax import shard_map
+    except ImportError:                            # older jax
+        from jax.experimental.shard_map import shard_map
+    try:
+        return shard_map(body, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except TypeError:                              # older shard_map API
+        return shard_map(body, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
+def _check_dims(cfg: ModelConfig, mesh, B: int, data_sharded: bool) -> None:
+    mp = mesh.shape[MODEL_AXIS]
+    if cfg.n_heads % mp or cfg.n_kv_heads % mp or cfg.hidden_dim % mp:
+        raise ValueError(f"heads/hidden must divide the model axis ({mp})")
+    gs = cfg.group_size
+    if (cfg.n_heads * cfg.head_size // gs) % mp or (cfg.hidden_dim // gs) % mp:
+        raise ValueError(
+            f"row-parallel quant-group counts (I/gs) must divide the model "
+            f"axis ({mp}); pad hidden/heads or shrink group_size")
+    if data_sharded and B % mesh.shape[DATA_AXIS]:
+        raise ValueError(
+            f"batch {B} must divide the data axis ({mesh.shape[DATA_AXIS]})")
 
 
 def spmd_decode_step(cfg: ModelConfig, mesh, params: LlamaParams,
@@ -45,47 +80,39 @@ def spmd_decode_step(cfg: ModelConfig, mesh, params: LlamaParams,
                      cache: BatchedKVCache, *,
                      mm: Callable, mm_idx: Optional[Callable],
                      attn_bidx: Optional[Callable],
+                     kv_writer: Optional[Callable] = None,
+                     data_sharded: bool = False,
                      compute_dtype=jnp.bfloat16):
     """One batched decode token with the layer stack under shard_map.
 
     params must already be sharded per parallel/sharding.py; the cache per
     slot_cache_sharding.  Embedding gather and the classifier matmul run
-    outside the shard_map (GSPMD handles the vocab sharding there).
-    """
-    try:
-        from jax import shard_map
-    except ImportError:                            # older jax
-        from jax.experimental.shard_map import shard_map
-
+    outside the shard_map (GSPMD handles the vocab sharding there)."""
     B = tokens.shape[0]
     hs, n_heads, n_kv = cfg.head_size, cfg.n_heads, cfg.n_kv_heads
     mp = mesh.shape[MODEL_AXIS]
-    if n_heads % mp or n_kv % mp or cfg.hidden_dim % mp:
-        raise ValueError(f"heads/hidden must divide the model axis ({mp})")
-    gs = cfg.group_size
-    if (n_heads * hs // gs) % mp or (cfg.hidden_dim // gs) % mp:
-        raise ValueError(
-            f"row-parallel quant-group counts (I/gs) must divide the model "
-            f"axis ({mp}); pad hidden/heads or shrink group_size")
+    _check_dims(cfg, mesh, B, data_sharded)
 
     x = embed_tokens(params.embedding, tokens, compute_dtype)       # (B, D)
     cos, sin = rope_tables(cfg, pos, compute_dtype)
 
     col = P(None, None, MODEL_AXIS)
     row = P(None, MODEL_AXIS, None)
-    rep = P()
-    cache5 = P(None, None, MODEL_AXIS, None, None)
-    cache4 = P(None, None, MODEL_AXIS, None)
+    da = DATA_AXIS if data_sharded else None
+    slot_rows = P(da, None)                        # x, cos, sin
+    slot_vec = P(da)                               # pos
+    cache5 = P(None, da, MODEL_AXIS, None, None)
+    cache4 = P(None, da, MODEL_AXIS, None)
 
     # pytree-PREFIX specs: one P covers every leaf of a QArray (data and
     # scales shard the same axis in both the col and row layouts)
-    w_specs = dict(wq=col, wk=col, wv=col, wo=row, w1=col, w2=row, w3=col)
-    sc_spec = cache4 if cache.quantized else rep
+    sc_spec = cache4 if cache.quantized else P()
 
     def body(x, cos, sin, pos_, attn_norm, ffn_norm, wq, wk, wv, wo, w1, w2,
              w3, ck, cv, ksc, vsc):
-        """Runs per device on LOCAL shards: x replicated (B, D); wq local
-        (L, D, Hq/mp); cache local (L, B, n_kv/mp, S, hs)."""
+        """Runs per device on LOCAL shards: x (Blocal, D); wq local
+        (L, D, Hq/mp); cache local (L, Blocal, n_kv/mp, S, hs)."""
+        Bl = x.shape[0]
         n_heads_l = n_heads // mp
         n_kv_l = n_kv // mp
         L = cfg.n_layers
@@ -99,9 +126,9 @@ def spmd_decode_step(cfg: ModelConfig, mesh, params: LlamaParams,
         def scan_fn(x, layer):
             l, attn_norm_l, ffn_norm_l = layer
             h = rmsnorm(x, attn_norm_l, cfg.norm_eps)
-            q = proj(h, wq, l).reshape(B, n_heads_l, hs)
-            k = proj(h, wk, l).reshape(B, n_kv_l, hs)
-            v = proj(h, wv, l).reshape(B, n_kv_l, hs)
+            q = proj(h, wq, l).reshape(Bl, n_heads_l, hs)
+            k = proj(h, wk, l).reshape(Bl, n_kv_l, hs)
+            v = proj(h, wv, l).reshape(Bl, n_kv_l, hs)
             q = apply_rope_half(q, cos[:, None], sin[:, None])
             k = apply_rope_half(k, cos[:, None], sin[:, None])
 
@@ -112,7 +139,7 @@ def spmd_decode_step(cfg: ModelConfig, mesh, params: LlamaParams,
                 from fastllama_tpu.models.batched import _layer_slices
                 ck_l, cv_l = _layer_slices(local_cache, l, compute_dtype)
                 o = gqa_attention_decode_batched(q, ck_l, cv_l, k, v, pos_)
-            o = o.reshape(B, n_heads_l * hs)
+            o = o.reshape(Bl, n_heads_l * hs)
             # row-parallel O projection: partial sums -> psum (the GSPMD
             # analogue of the reference's add-at-offset, transformer.cpp:465)
             x = x + jax.lax.psum(proj(o, wo, l), MODEL_AXIS)
@@ -123,39 +150,37 @@ def spmd_decode_step(cfg: ModelConfig, mesh, params: LlamaParams,
             return x, (k, v)
 
         xs = (jnp.arange(L, dtype=jnp.int32), attn_norm, ffn_norm)
-        x, (ks, vs) = jax.lax.scan(scan_fn, x, xs)    # (L, B, n_kv_l, hs)
+        x, (ks, vs) = jax.lax.scan(scan_fn, x, xs)    # (L, Bl, n_kv_l, hs)
 
         if ksc is not None:
             kq, ks_ = quantize_rows(ks)
             vq, vs_ = quantize_rows(vs)
+            ks2, vs2 = ks_[..., 0], vs_[..., 0]
         else:
-            kq, vq, ks_, vs_ = ks.astype(ck.dtype), vs.astype(cv.dtype), \
-                None, None
-        for b in range(B):
+            kq, vq = ks.astype(ck.dtype), vs.astype(cv.dtype)
+            ks2 = vs2 = None
+        if kv_writer is not None:
+            # one in-place launch for the shard's whole slot range
+            new = kv_writer(BatchedKVCache(ck, cv, ksc, vsc), kq, vq,
+                            ks2, vs2, pos_)
+            return x, new.k, new.v, new.k_scale, new.v_scale
+        for b in range(Bl):
             ck = jax.lax.dynamic_update_slice(
                 ck, kq[:, b][:, None, :, None], (0, b, 0, pos_[b], 0))
             cv = jax.lax.dynamic_update_slice(
                 cv, vq[:, b][:, None, :, None], (0, b, 0, pos_[b], 0))
             if ksc is not None:
                 ksc = jax.lax.dynamic_update_slice(
-                    ksc, ks_[..., 0][:, b][:, None, :, None],
-                    (0, b, 0, pos_[b]))
+                    ksc, ks2[:, b][:, None, :, None], (0, b, 0, pos_[b]))
                 vsc = jax.lax.dynamic_update_slice(
-                    vsc, vs_[..., 0][:, b][:, None, :, None],
-                    (0, b, 0, pos_[b]))
+                    vsc, vs2[:, b][:, None, :, None], (0, b, 0, pos_[b]))
         return x, ck, cv, ksc, vsc
 
-    in_specs = (rep, rep, rep, rep, rep, rep,
-                w_specs["wq"], w_specs["wk"], w_specs["wv"], w_specs["wo"],
-                w_specs["w1"], w_specs["w2"], w_specs["w3"],
+    in_specs = (slot_rows, slot_rows, slot_rows, slot_vec, P(), P(),
+                col, col, col, row, col, row, col,
                 cache5, cache5, sc_spec, sc_spec)
-    out_specs = (rep, cache5, cache5, sc_spec, sc_spec)
-    try:
-        fn = shard_map(body, mesh=mesh, in_specs=in_specs,
-                       out_specs=out_specs, check_vma=False)
-    except TypeError:                              # older shard_map API
-        fn = shard_map(body, mesh=mesh, in_specs=in_specs,
-                       out_specs=out_specs, check_rep=False)
+    out_specs = (slot_rows, cache5, cache5, sc_spec, sc_spec)
+    fn = _shard_map(body, mesh, in_specs, out_specs)
     x, ck, cv, ksc, vsc = fn(
         x, cos, sin, pos, params.attn_norm, params.ffn_norm,
         params.wq, params.wk, params.wv, params.wo, params.w1, params.w2,
@@ -171,24 +196,21 @@ def spmd_prefill_many(cfg: ModelConfig, mesh, params: LlamaParams,
                       tokens: jax.Array, lengths: jax.Array,
                       slots: jax.Array, cache: BatchedKVCache, *,
                       mm: Callable, mm_idx: Optional[Callable],
+                      slot_writer: Optional[Callable] = None,
+                      data_sharded: bool = False,
                       compute_dtype=jnp.bfloat16):
     """N same-bucket prompts prefilled under shard_map (the spmd counterpart
     of models/batched.prefill_many): block-diagonal attention over each
     prompt's own local-head K/V, per-layer psums after wo/w2, local-shard
-    slot writes.  Returns (last-token logits (N, vocab), cache)."""
-    try:
-        from jax import shard_map
-    except ImportError:                            # older jax
-        from jax.experimental.shard_map import shard_map
+    slot writes.  With ``data_sharded``, prompt n of each host's N/dp rows
+    lands in that host's shard and ``slots`` holds DATA-SHARD-LOCAL slot
+    ids.  Returns (last-token logits (N, vocab), cache)."""
     from fastllama_tpu.ops.attention import gqa_attention
 
     N, T = tokens.shape
     hs, n_heads, n_kv = cfg.head_size, cfg.n_heads, cfg.n_kv_heads
     mp = mesh.shape[MODEL_AXIS]
-    gs = cfg.group_size
-    if n_heads % mp or n_kv % mp or cfg.hidden_dim % mp \
-            or (n_heads * hs // gs) % mp or (cfg.hidden_dim // gs) % mp:
-        raise ValueError(f"model dims must divide the model axis ({mp})")
+    _check_dims(cfg, mesh, N, data_sharded)
 
     x = embed_tokens(params.embedding, tokens.reshape(N * T), compute_dtype)
     cos, sin = rope_tables(cfg, jnp.arange(T, dtype=jnp.int32),
@@ -197,12 +219,16 @@ def spmd_prefill_many(cfg: ModelConfig, mesh, params: LlamaParams,
     col = P(None, None, MODEL_AXIS)
     row = P(None, MODEL_AXIS, None)
     rep = P()
-    cache5 = P(None, None, MODEL_AXIS, None, None)
-    cache4 = P(None, None, MODEL_AXIS, None)
+    da = DATA_AXIS if data_sharded else None
+    rows2 = P(da, None)                            # x: (N*T, D), host-major
+    slot_vec = P(da)
+    cache5 = P(None, da, MODEL_AXIS, None, None)
+    cache4 = P(None, da, MODEL_AXIS, None)
     sc_spec = cache4 if cache.quantized else rep
 
     def body(x, cos, sin, slots_, attn_norm, ffn_norm, wq, wk, wv, wo, w1,
              w2, w3, ck, cv, ksc, vsc):
+        Nl = x.shape[0] // T
         n_heads_l = n_heads // mp
         n_kv_l = n_kv // mp
 
@@ -215,15 +241,15 @@ def spmd_prefill_many(cfg: ModelConfig, mesh, params: LlamaParams,
         def scan_fn(x, layer):
             l, attn_norm_l, ffn_norm_l = layer
             h = rmsnorm(x, attn_norm_l, cfg.norm_eps)
-            q = proj(h, wq, l).reshape(N, T, n_heads_l, hs).transpose(0, 2, 1, 3)
-            k = proj(h, wk, l).reshape(N, T, n_kv_l, hs).transpose(0, 2, 1, 3)
-            v = proj(h, wv, l).reshape(N, T, n_kv_l, hs).transpose(0, 2, 1, 3)
+            q = proj(h, wq, l).reshape(Nl, T, n_heads_l, hs).transpose(0, 2, 1, 3)
+            k = proj(h, wk, l).reshape(Nl, T, n_kv_l, hs).transpose(0, 2, 1, 3)
+            v = proj(h, wv, l).reshape(Nl, T, n_kv_l, hs).transpose(0, 2, 1, 3)
             q = apply_rope_half(q, cos[None, None], sin[None, None])
             k = apply_rope_half(k, cos[None, None], sin[None, None])
 
             o = jax.vmap(lambda qq, kk, vv: gqa_attention(qq, kk, vv, 0))(
                 q, k, v)
-            o = o.transpose(0, 2, 1, 3).reshape(N * T, n_heads_l * hs)
+            o = o.transpose(0, 2, 1, 3).reshape(Nl * T, n_heads_l * hs)
             x = x + jax.lax.psum(proj(o, wo, l), MODEL_AXIS)
 
             h = rmsnorm(x, ffn_norm_l, cfg.norm_eps)
@@ -233,34 +259,35 @@ def spmd_prefill_many(cfg: ModelConfig, mesh, params: LlamaParams,
             return x, (k.astype(kv_dtype), v.astype(kv_dtype))
 
         xs = (jnp.arange(cfg.n_layers, dtype=jnp.int32), attn_norm, ffn_norm)
-        x, (ks, vs) = jax.lax.scan(scan_fn, x, xs)  # (L, N, n_kv_l, T, hs)
+        x, (ks, vs) = jax.lax.scan(scan_fn, x, xs)  # (L, Nl, n_kv_l, T, hs)
 
         if ksc is not None:
             kq, ks_ = quantize_rows(ks)
             vq, vs_ = quantize_rows(vs)
+            ks2, vs2 = ks_[..., 0], vs_[..., 0]
         else:
-            kq, vq, ks_, vs_ = ks, vs, None, None
-        for n in range(N):
+            kq, vq = ks, vs
+            ks2 = vs2 = None
+        if slot_writer is not None:
+            new = slot_writer(BatchedKVCache(ck, cv, ksc, vsc), kq, vq,
+                              ks2, vs2, slots_)
+            return x, new.k, new.v, new.k_scale, new.v_scale
+        for n in range(Nl):
             ck = jax.lax.dynamic_update_slice(
                 ck, kq[:, n][:, None], (0, slots_[n], 0, 0, 0))
             cv = jax.lax.dynamic_update_slice(
                 cv, vq[:, n][:, None], (0, slots_[n], 0, 0, 0))
             if ksc is not None:
                 ksc = jax.lax.dynamic_update_slice(
-                    ksc, ks_[..., 0][:, n][:, None], (0, slots_[n], 0, 0))
+                    ksc, ks2[:, n][:, None], (0, slots_[n], 0, 0))
                 vsc = jax.lax.dynamic_update_slice(
-                    vsc, vs_[..., 0][:, n][:, None], (0, slots_[n], 0, 0))
+                    vsc, vs2[:, n][:, None], (0, slots_[n], 0, 0))
         return x, ck, cv, ksc, vsc
 
-    in_specs = (rep, rep, rep, rep, rep, rep, col, col, col, row, col, row,
-                col, cache5, cache5, sc_spec, sc_spec)
-    out_specs = (rep, cache5, cache5, sc_spec, sc_spec)
-    try:
-        fn = shard_map(body, mesh=mesh, in_specs=in_specs,
-                       out_specs=out_specs, check_vma=False)
-    except TypeError:
-        fn = shard_map(body, mesh=mesh, in_specs=in_specs,
-                       out_specs=out_specs, check_rep=False)
+    in_specs = (rows2, rep, rep, slot_vec, rep, rep, col, col, col, row,
+                col, row, col, cache5, cache5, sc_spec, sc_spec)
+    out_specs = (rows2, cache5, cache5, sc_spec, sc_spec)
+    fn = _shard_map(body, mesh, in_specs, out_specs)
     x, ck, cv, ksc, vsc = fn(
         x, cos, sin, slots, params.attn_norm, params.ffn_norm,
         params.wq, params.wk, params.wv, params.wo, params.w1, params.w2,
@@ -272,3 +299,115 @@ def spmd_prefill_many(cfg: ModelConfig, mesh, params: LlamaParams,
     from fastllama_tpu.ops.qmatmul import qmatmul
     logits = qmatmul(rows, params.classifier, compute_dtype)
     return logits.astype(jnp.float32), BatchedKVCache(ck, cv, ksc, vsc)
+
+
+def spmd_prefill_tail(cfg: ModelConfig, mesh, params: LlamaParams,
+                      tokens: jax.Array, length, slot, start,
+                      cache: BatchedKVCache, *,
+                      mm: Callable, mm_idx: Optional[Callable],
+                      attn_tail: Optional[Callable] = None,
+                      compute_dtype=jnp.bfloat16):
+    """Mid-sequence single-slot prefill under shard_map — the prefix-cache
+    tail path (models/batched.prefill_into_slot_at) expressed per shard so
+    the fused kernels stay legal on a multi-device mesh (round-2's flagged
+    hazard: the single-device Pallas tail under GSPMD compiles on the
+    interpret-mode CPU mesh but cannot be auto-partitioned on hardware).
+
+    tokens (T,) at positions [start, start+T) of ``slot``, attending the
+    slot's existing rows [0, start) plus the causal fresh block.  Returns
+    (last-valid-token logits (vocab,), cache)."""
+    from fastllama_tpu.ops.attention import gqa_attention
+
+    T = tokens.shape[0]
+    hs, n_heads, n_kv = cfg.head_size, cfg.n_heads, cfg.n_kv_heads
+    mp = mesh.shape[MODEL_AXIS]
+    _check_dims(cfg, mesh, cache.k.shape[1], False)
+
+    x = embed_tokens(params.embedding, tokens, compute_dtype)       # (T, D)
+    positions = start + jnp.arange(T, dtype=jnp.int32)
+    cos, sin = rope_tables(cfg, positions, compute_dtype)
+
+    col = P(None, None, MODEL_AXIS)
+    row = P(None, MODEL_AXIS, None)
+    rep = P()
+    cache5 = P(None, None, MODEL_AXIS, None, None)
+    cache4 = P(None, None, MODEL_AXIS, None)
+    sc_spec = cache4 if cache.quantized else rep
+
+    def body(x, cos, sin, slot_, start_, attn_norm, ffn_norm, wq, wk, wv,
+             wo, w1, w2, w3, ck, cv, ksc, vsc):
+        n_heads_l = n_heads // mp
+        n_kv_l = n_kv // mp
+
+        def proj(h, w, l):
+            if mm_idx is not None:
+                return mm_idx(h, w, l)
+            from fastllama_tpu.models.batched import _take_layer
+            return mm(h, _take_layer(w, l))
+
+        local_cache = BatchedKVCache(ck, cv, ksc, vsc)
+
+        def scan_fn(x, layer):
+            l, attn_norm_l, ffn_norm_l = layer
+            h = rmsnorm(x, attn_norm_l, cfg.norm_eps)
+            q = proj(h, wq, l).reshape(T, n_heads_l, hs).transpose(1, 0, 2)
+            k = proj(h, wk, l).reshape(T, n_kv_l, hs).transpose(1, 0, 2)
+            v = proj(h, wv, l).reshape(T, n_kv_l, hs).transpose(1, 0, 2)
+            q = apply_rope_half(q, cos[None], sin[None])
+            k = apply_rope_half(k, cos[None], sin[None])
+
+            o = attn_tail(q, local_cache, slot_, l, start_, k, v) \
+                if attn_tail is not None else None
+            if o is None:
+                from fastllama_tpu.models.batched import _layer_slices
+                ck_l, cv_l = _layer_slices(local_cache, l, compute_dtype)
+                ck_s = jax.lax.dynamic_index_in_dim(ck_l, slot_, 0,
+                                                    keepdims=False)
+                cv_s = jax.lax.dynamic_index_in_dim(cv_l, slot_, 0,
+                                                    keepdims=False)
+                kk = jax.lax.dynamic_update_slice(
+                    ck_s.astype(compute_dtype), k, (0, start_, 0))
+                vv = jax.lax.dynamic_update_slice(
+                    cv_s.astype(compute_dtype), v, (0, start_, 0))
+                o = gqa_attention(q, kk, vv, start_)
+            o = o.transpose(1, 0, 2).reshape(T, n_heads_l * hs)
+            x = x + jax.lax.psum(proj(o, wo, l), MODEL_AXIS)
+
+            h = rmsnorm(x, ffn_norm_l, cfg.norm_eps)
+            hd = swiglu(proj(h, w1, l), proj(h, w3, l))
+            x = x + jax.lax.psum(proj(hd, w2, l), MODEL_AXIS)
+            return x, (k, v)
+
+        xs = (jnp.arange(cfg.n_layers, dtype=jnp.int32), attn_norm, ffn_norm)
+        x, (ks, vs) = jax.lax.scan(scan_fn, x, xs)     # (L, n_kv_l, T, hs)
+
+        if ksc is not None:
+            kq, ks_ = quantize_rows(ks)
+            vq, vs_ = quantize_rows(vs)
+            ksc = jax.lax.dynamic_update_slice(
+                ksc, ks_[..., 0][:, None], (0, slot_, 0, start_))
+            vsc = jax.lax.dynamic_update_slice(
+                vsc, vs_[..., 0][:, None], (0, slot_, 0, start_))
+        else:
+            kq, vq = ks.astype(ck.dtype), vs.astype(cv.dtype)
+        ck = jax.lax.dynamic_update_slice(ck, kq[:, None],
+                                          (0, slot_, 0, start_, 0))
+        cv = jax.lax.dynamic_update_slice(cv, vq[:, None],
+                                          (0, slot_, 0, start_, 0))
+        return x, ck, cv, ksc, vsc
+
+    in_specs = (rep, rep, rep, rep, rep, rep, rep, col, col, col, row,
+                col, row, col, cache5, cache5, sc_spec, sc_spec)
+    out_specs = (rep, cache5, cache5, sc_spec, sc_spec)
+    fn = _shard_map(body, mesh, in_specs, out_specs)
+    x, ck, cv, ksc, vsc = fn(
+        x, cos, sin, jnp.asarray(slot, jnp.int32),
+        jnp.asarray(start, jnp.int32), params.attn_norm, params.ffn_norm,
+        params.wq, params.wk, params.wv, params.wo, params.w1, params.w2,
+        params.w3, cache.k, cache.v, cache.k_scale, cache.v_scale)
+
+    x = rmsnorm(x, params.out_norm, cfg.norm_eps)
+    xl = jax.lax.dynamic_slice_in_dim(x, length - 1, 1, axis=0)
+    from fastllama_tpu.ops.qmatmul import qmatmul
+    logits = qmatmul(xl, params.classifier, compute_dtype)
+    return logits[0].astype(jnp.float32), BatchedKVCache(ck, cv, ksc, vsc)

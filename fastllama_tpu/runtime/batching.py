@@ -149,30 +149,20 @@ class BatchedEngine:
         self.kv_dtype = jnp.dtype(ec.kv_dtype)
         self._cdt = jnp.dtype(ec.compute_dtype)
 
-        self._mm = None
-        self._mm_idx = None
-        self._attn_bidx = None
-        self._attn_bidx_factory = None
-        interp = ec.pallas_interpret
-        if ec.use_pallas and (interp or jax.default_backend() not in ("cpu",)):
-            from functools import partial as _partial
-            from fastllama_tpu.ops.pallas.qmm import make_mm, make_mm_indexed
-            self._mm = make_mm(compute_dtype=self._cdt, interpret=interp)
-            self._mm_idx = make_mm_indexed(compute_dtype=self._cdt,
-                                           interpret=interp)
-            if ec.flash_attention:
-                from fastllama_tpu.ops.pallas.flash_decode import \
-                    make_attn_batched_flash
-                self._attn_bidx = make_attn_batched_flash(interpret=interp)
-                self._attn_bidx_factory = _partial(make_attn_batched_flash,
-                                                   interpret=interp)
-            else:
-                from fastllama_tpu.ops.pallas.attention import \
-                    make_attn_batched
-                self._attn_bidx = make_attn_batched(interpret=interp)
-        if self._mm is None:
-            from functools import partial
-            self._mm = partial(qmatmul, compute_dtype=self._cdt)
+        from fastllama_tpu.runtime.kernels import select_kernels
+        kb = select_kernels(
+            ec, self._cdt, config.max_seq_len, self.kv_dtype,
+            n_layers=config.n_layers,
+            n_kv_bytes=config.n_kv_heads * config.head_size
+            * self.kv_dtype.itemsize)
+        self._mm = kb.mm
+        self._mm_idx = kb.mm_idx
+        self._attn_bidx = kb.attn_bidx
+        self._attn_bidx_factory = kb.attn_bidx_factory
+        # one-launch in-place cache writers (replace the O(B) slab-update
+        # loop; None when Mosaic can't tile S — loop fallback)
+        self._kv_writer = kb.kv_writer
+        self._slot_writer = kb.slot_writer
 
         # opt-in explicit-TP path: shard_map over the mesh with per-shard
         # kernels (parallel/spmd_step.py); default = GSPMD auto-partitioning
@@ -256,6 +246,7 @@ class BatchedEngine:
         if key_ not in self._prefill_fns:
             cfg, mm, mi, cdt = self.config, self._mm, self._mm_idx, self._cdt
 
+            sw = self._slot_writer
             if self._spmd:
                 from fastllama_tpu.parallel.spmd_step import spmd_prefill_many
                 mesh = self.mesh
@@ -264,7 +255,7 @@ class BatchedEngine:
                       topps):
                     logits, cache = spmd_prefill_many(
                         cfg, mesh, params, tokens, lengths, slots, cache,
-                        mm=mm, mm_idx=mi, compute_dtype=cdt)
+                        mm=mm, mm_idx=mi, slot_writer=sw, compute_dtype=cdt)
                     toks = sampling.sample_batched(logits, keys, temps, topps)
                     return toks, cache
             else:
@@ -272,7 +263,7 @@ class BatchedEngine:
                       topps):
                     logits, cache = prefill_many(
                         cfg, params, tokens, lengths, slots, cache,
-                        mm=mm, mm_idx=mi, compute_dtype=cdt)
+                        mm=mm, mm_idx=mi, slot_writer=sw, compute_dtype=cdt)
                     toks = sampling.sample_batched(logits, keys, temps, topps)
                     return toks, cache
 
@@ -292,18 +283,36 @@ class BatchedEngine:
                     make_attn_tail
                 at = make_attn_tail(interpret=self.ec.pallas_interpret)
 
-            def f(params, tokens, length, slot, donor, start, cache, key,
-                  temp, topp):
-                # donor-row copy + tail prefill in ONE device call: a
-                # separate copy dispatch cost a full tunnel round-trip and
-                # erased the hit path's latency win
-                cache = copy_slot_prefix(cache, donor, slot, start)
-                logits, cache = prefill_into_slot_at(
-                    cfg, params, tokens, length, slot, start, cache,
-                    mm=mm, mm_idx=mi, attn_tail=at, compute_dtype=cdt)
-                tok = sampling.sample_batched(
-                    logits[None], key[None], temp[None], topp[None])[0]
-                return tok, cache
+            if self._spmd:
+                # shard_map tail: the single-device Pallas tail under GSPMD
+                # would compile on the interpret CPU mesh but cannot be
+                # auto-partitioned on real chips (round-2 flagged hazard)
+                from fastllama_tpu.parallel.spmd_step import spmd_prefill_tail
+                mesh = self.mesh
+
+                def f(params, tokens, length, slot, donor, start, cache, key,
+                      temp, topp):
+                    cache = copy_slot_prefix(cache, donor, slot, start)
+                    logits, cache = spmd_prefill_tail(
+                        cfg, mesh, params, tokens, length, slot, start,
+                        cache, mm=mm, mm_idx=mi, attn_tail=at,
+                        compute_dtype=cdt)
+                    tok = sampling.sample_batched(
+                        logits[None], key[None], temp[None], topp[None])[0]
+                    return tok, cache
+            else:
+                def f(params, tokens, length, slot, donor, start, cache, key,
+                      temp, topp):
+                    # donor-row copy + tail prefill in ONE device call: a
+                    # separate copy dispatch cost a full tunnel round-trip
+                    # and erased the hit path's latency win
+                    cache = copy_slot_prefix(cache, donor, slot, start)
+                    logits, cache = prefill_into_slot_at(
+                        cfg, params, tokens, length, slot, start, cache,
+                        mm=mm, mm_idx=mi, attn_tail=at, compute_dtype=cdt)
+                    tok = sampling.sample_batched(
+                        logits[None], key[None], temp[None], topp[None])[0]
+                    return tok, cache
 
             self._tail_fns[bucket] = jax.jit(
                 f, donate_argnums=(6,) if self.ec.donate_cache else ())
@@ -311,10 +320,23 @@ class BatchedEngine:
 
     # -- prefix cache ----------------------------------------------------------
 
+    @staticmethod
+    def _prefix_hashes(prompt: List[int], BL: int) -> List[int]:
+        """Rolling hash per BL-token prefix level: O(len) total for ALL
+        levels and O(1) ints stored per level (storing the token tuples
+        themselves was O(L^2/16) host memory on long prompts — ADVICE r2).
+        Hits are verified against the donor's actual tokens, so collisions
+        cost a wasted compare, never a wrong admission."""
+        hashes, h = [], 0
+        for l in range(BL, len(prompt) + 1, BL):
+            h = hash((h, tuple(prompt[l - BL:l])))
+            hashes.append(h)
+        return hashes
+
     def _prefix_register(self, slot: int, prompt: List[int]) -> None:
         BL = self._prefix_block
-        for l in range(BL, len(prompt) + 1, BL):
-            key = (l, tuple(prompt[:l]))     # exact tokens: no hash collisions
+        for i, h in enumerate(self._prefix_hashes(prompt, BL)):
+            key = ((i + 1) * BL, h)
             # first registration wins: overwriting would re-point a shared
             # prefix at a shorter-lived slot, losing the entry when that
             # slot frees even though the original donor is still resident
@@ -330,13 +352,20 @@ class BatchedEngine:
 
     def _prefix_lookup(self, prompt: List[int]):
         """Longest block-aligned live prefix strictly shorter than the
-        prompt (>= 1 tail token must remain to produce first logits)."""
+        prompt (>= 1 tail token must remain to produce first logits).
+        Hash hits are confirmed token-by-token against the DONOR's live
+        request before use — exactness is preserved."""
         BL = self._prefix_block
-        top = (len(prompt) - 1) // BL * BL
-        for l in range(top, BL - 1, -BL):
-            slot = self._prefix_index.get((l, tuple(prompt[:l])))
+        top = (len(prompt) - 1) // BL
+        hashes = self._prefix_hashes(prompt, BL)
+        for i in range(min(top, len(hashes)) - 1, -1, -1):
+            l = (i + 1) * BL
+            slot = self._prefix_index.get((l, hashes[i]))
             if slot is not None:
-                return slot, l
+                donor = self.slot_req[slot]
+                if donor is not None and \
+                        donor.prompt_tokens[:l] == prompt[:l]:
+                    return slot, l
         return None, 0
 
     def _get_chunk(self, n_steps: int, greedy_only: bool, s_bound: int = 0):
@@ -357,11 +386,12 @@ class BatchedEngine:
                         logits, cache = spmd_decode_step(
                             cfg, self.mesh, params, tok, pos, cache,
                             mm=mm, mm_idx=mi, attn_bidx=ab,
-                            compute_dtype=cdt)
+                            kv_writer=self._kv_writer, compute_dtype=cdt)
                     else:
                         logits, cache = decode_step(
                             cfg, params, tok, pos, cache,
-                            mm=mm, mm_idx=mi, attn_bidx=ab, compute_dtype=cdt)
+                            mm=mm, mm_idx=mi, attn_bidx=ab,
+                            kv_writer=self._kv_writer, compute_dtype=cdt)
                     if greedy_only:
                         nxt = sampling.greedy(logits)
                     else:

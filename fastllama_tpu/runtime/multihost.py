@@ -16,11 +16,22 @@ this is the capability the TPU build adds on top.  Design:
 * **Lockstep protocol**: SPMD requires every process to issue the same
   compiled calls with the same static shapes.  Each ``step()`` starts with
   ONE tiny ``process_allgather`` of the per-host plan (queued count, bucket,
-  live flags, chunk bound, greedy flag); every host then derives the same
-  global decision (admission wave shape, decode chunk length, sampling mode)
-  and issues identical jit calls, feeding its own local shard of the global
-  arrays (``jax.make_array_from_process_local_data``) and reading back only
-  its local columns (``global_array_to_host_local_array``).
+  live flags, chunk bound, greedy flag, max position); every host then
+  derives the same global decision (admission wave shape, decode chunk
+  length, sampling mode, attention window bound) and issues identical jit
+  calls, feeding its own local shard of the global arrays
+  (``jax.make_array_from_process_local_data``) and reading back only its
+  local columns (``global_array_to_host_local_array``).
+* **The hot loop runs on every shard** (the reference's design point:
+  every worker executes the SIMD hot loop on its slice,
+  transformer.cpp:253-384, x86_simd.cpp:1647-1674).  With
+  ``EngineConfig.spmd_kernels`` (and compatible dims) prefill and decode go
+  through ``parallel/spmd_step`` with ``data_sharded=True``: each host's
+  chips run the SAME fused Pallas kernels (layer-indexed qmm, bounded
+  -window flash decode, one-launch cache writer) on their local slot range
+  — the identical compute path BatchedEngine runs single-host.  Off-mesh
+  or with incompatible dims it falls back to the GSPMD jnp path (where
+  Pallas is disabled: GSPMD cannot partition a single-device kernel).
 
 Single-process degenerates cleanly: the allgather is a no-op, the mesh is
 local, and behavior matches BatchedEngine's scheduler (minus the per-slot
@@ -34,8 +45,9 @@ host is constant in the number of hosts — weights are replicated over
 KV traffic is host-local, and the only cross-host costs are the per-step
 plan allgather (a few hundred bytes over DCN, amortized over a whole decode
 chunk) plus XLA's logits resharding.  Aggregate throughput should therefore
-scale ~linearly with hosts; the 2-process CPU test asserts the protocol,
-real-pod numbers must come from hardware.
+scale ~linearly with hosts; the 2-process CPU test asserts the protocol
+(including through the spmd+interpret-kernel path), real-pod numbers must
+come from hardware — read them off :meth:`global_stats`.
 """
 from __future__ import annotations
 
@@ -57,7 +69,6 @@ from fastllama_tpu.models.batched import (BatchedKVCache, decode_step,
                                           prefill_many)
 from fastllama_tpu.models.llama import LlamaParams
 from fastllama_tpu.ops import sampling
-from fastllama_tpu.ops.qmatmul import qmatmul
 from fastllama_tpu.parallel.sharding import DATA_AXIS, MODEL_AXIS
 from fastllama_tpu.runtime.batching import BatchStats, Request
 
@@ -67,9 +78,14 @@ _PLAN_BUCKET = 1     # prefill bucket those admissions need (max)
 _PLAN_LIVE = 2       # 1 if host has live slots after admission
 _PLAN_KMAX = 3       # host's max safe decode-chunk length
 _PLAN_GREEDY = 4     # 1 if all of host's live requests are greedy
-_PLAN_WIDTH = 5
+_PLAN_MAXPOS = 5     # host's max live position (bounds the flash window)
+_PLAN_WIDTH = 6
 
-_ADMIT_CAP = 8       # max admissions per host per wave (bounds compile keys)
+# max admissions per host per wave.  Each distinct (wave width, bucket)
+# pair compiles its own prefill program; capping the width bounds the
+# compile-key space to |buckets| * log2(cap)-ish while a backlog still
+# drains at cap*hosts prompts per step.
+_ADMIT_CAP = 8
 
 
 class MultiHostEngine:
@@ -90,7 +106,6 @@ class MultiHostEngine:
         config.validate()
         self.config = config
         self.tokenizer = tokenizer
-        self.ec = ec
         self.decode_chunk = decode_chunk
         self.kv_dtype = jnp.dtype(ec.kv_dtype)
         self._cdt = jnp.dtype(ec.compute_dtype)
@@ -108,8 +123,22 @@ class MultiHostEngine:
                 f"data axis ({mesh.shape[DATA_AXIS]}) must equal the process "
                 f"count ({self.n_hosts}): slots are per-host")
 
-        from fastllama_tpu.parallel.sharding import shard_params
-        self.params = shard_params(config, mesh, params)
+        if len(mesh.devices.flat) == 1:
+            # degenerate single-device mesh: fused QKV / gate|up layouts are
+            # legal (they don't match TP shardings on a real mesh, where
+            # BatchedEngine disables fusion too), and sharding is a plain
+            # device_put (fused params have None leaves param_shardings
+            # doesn't describe)
+            if ec.fuse_weights and not ec.parity_mode:
+                from fastllama_tpu.models.llama import fuse_params
+                try:
+                    params = fuse_params(config, params)
+                except ValueError:
+                    pass
+            self.params = jax.device_put(params, mesh.devices.flat[0])
+        else:
+            from fastllama_tpu.parallel.sharding import shard_params
+            self.params = shard_params(config, mesh, params)
 
         # slots: W per host = serving slots + 1 sink for padded admissions
         self.W = max(2, ec.max_batch_size + 1)
@@ -118,6 +147,33 @@ class MultiHostEngine:
         self.slot0 = self.rank * self.W            # first global local slot
 
         mp = mesh.shape[MODEL_AXIS]
+        multi_dev = len(mesh.devices.flat) > 1
+
+        # the round-3 cornerstone: run the fused hot loop on every shard.
+        # spmd needs heads/hidden/quant-groups divisible by the model axis
+        # and the batch by the data axis (parallel/spmd_step._check_dims).
+        self._spmd = False
+        if ec.spmd_kernels and multi_dev:
+            from fastllama_tpu.parallel.spmd_step import _check_dims
+            try:
+                _check_dims(config, mesh, self.B, True)
+                self._spmd = True
+            except ValueError as e:
+                import warnings
+                warnings.warn(f"spmd_kernels requested but unavailable: {e}; "
+                              f"falling back to the GSPMD jnp path")
+        if multi_dev and not self._spmd:
+            # GSPMD cannot partition single-device Pallas programs
+            ec = dataclasses.replace(ec, use_pallas=False)
+        self.ec = ec
+
+        from fastllama_tpu.runtime.kernels import select_kernels
+        self._kb = select_kernels(
+            ec, self._cdt, config.max_seq_len, self.kv_dtype,
+            n_layers=config.n_layers,
+            n_kv_bytes=config.n_kv_heads * config.head_size
+            * self.kv_dtype.itemsize)
+
         head_ax = MODEL_AXIS if config.n_kv_heads % mp == 0 else None
         sh5 = NamedSharding(mesh, P(None, DATA_AXIS, head_ax, None, None))
         sh4 = NamedSharding(mesh, P(None, DATA_AXIS, head_ax, None))
@@ -197,30 +253,59 @@ class MultiHostEngine:
     def _get_prefill(self, bucket: int, a: int):
         key_ = (bucket, a)
         if key_ not in self._prefill_fns:
-            cfg, cdt = self.config, self._cdt
+            cfg, cdt, kb = self.config, self._cdt, self._kb
 
-            def f(params, tokens, lengths, slots, cache, keys, temps, topps):
-                logits, cache = prefill_many(
-                    cfg, params, tokens, lengths, slots, cache,
-                    mm=qmatmul, compute_dtype=cdt)
-                toks = sampling.sample_batched(logits, keys, temps, topps)
-                return toks, cache
+            if self._spmd:
+                from fastllama_tpu.parallel.spmd_step import spmd_prefill_many
+                mesh = self.mesh
+
+                def f(params, tokens, lengths, slots, cache, keys, temps,
+                      topps):
+                    logits, cache = spmd_prefill_many(
+                        cfg, mesh, params, tokens, lengths, slots, cache,
+                        mm=kb.mm, mm_idx=kb.mm_idx,
+                        slot_writer=kb.slot_writer, data_sharded=True,
+                        compute_dtype=cdt)
+                    toks = sampling.sample_batched(logits, keys, temps, topps)
+                    return toks, cache
+            else:
+                def f(params, tokens, lengths, slots, cache, keys, temps,
+                      topps):
+                    logits, cache = prefill_many(
+                        cfg, params, tokens, lengths, slots, cache,
+                        mm=kb.mm, mm_idx=kb.mm_idx,
+                        slot_writer=kb.slot_writer, compute_dtype=cdt)
+                    toks = sampling.sample_batched(logits, keys, temps, topps)
+                    return toks, cache
 
             self._prefill_fns[key_] = jax.jit(
                 f, donate_argnums=(4,) if self.ec.donate_cache else ())
         return self._prefill_fns[key_]
 
-    def _get_chunk(self, n_steps: int, greedy_only: bool):
-        key_ = (n_steps, greedy_only)
+    def _get_chunk(self, n_steps: int, greedy_only: bool, s_bound: int = 0):
+        key_ = (n_steps, greedy_only, s_bound)
         if key_ not in self._chunk_fns:
-            cfg, cdt, S = self.config, self._cdt, self.S
+            cfg, cdt, S, kb = self.config, self._cdt, self.S, self._kb
+            ab = kb.attn_bidx
+            if s_bound and kb.attn_bidx_factory is not None:
+                ab = kb.attn_bidx_factory(s_bound)
 
             def chunk(params, cache, tokens, pos, keys, temps, topps):
                 def body(carry, _):
                     tok, pos, cache, keys = carry
-                    logits, cache = decode_step(
-                        cfg, params, tok, pos, cache,
-                        mm=qmatmul, compute_dtype=cdt)
+                    if self._spmd:
+                        from fastllama_tpu.parallel.spmd_step import \
+                            spmd_decode_step
+                        logits, cache = spmd_decode_step(
+                            cfg, self.mesh, params, tok, pos, cache,
+                            mm=kb.mm, mm_idx=kb.mm_idx, attn_bidx=ab,
+                            kv_writer=kb.kv_writer, data_sharded=True,
+                            compute_dtype=cdt)
+                    else:
+                        logits, cache = decode_step(
+                            cfg, params, tok, pos, cache,
+                            mm=kb.mm, mm_idx=kb.mm_idx, attn_bidx=ab,
+                            kv_writer=kb.kv_writer, compute_dtype=cdt)
                     if greedy_only:
                         nxt = sampling.greedy(logits)
                     else:
@@ -312,6 +397,7 @@ class MultiHostEngine:
             plan[_PLAN_KMAX] = max(1, kmax)
             plan[_PLAN_GREEDY] = int(all(
                 self.slot_req[i].temperature <= 0.0 for i in live))
+            plan[_PLAN_MAXPOS] = max(int(self.pos[i]) for i in live)
         else:
             plan[_PLAN_KMAX] = self.decode_chunk
             plan[_PLAN_GREEDY] = 1
@@ -319,21 +405,25 @@ class MultiHostEngine:
 
     def _admit_wave(self, a: int, bucket: int) -> None:
         """All hosts run one (a, bucket) admission wave; this host fills its
-        first ``n`` rows with real requests, the rest with sink-slot dummies."""
+        first ``n`` rows with real requests, the rest with sink-slot dummies.
+
+        The spmd path addresses slots SHARD-LOCALLY (this host's wave rows
+        land on its own chips); the GSPMD path uses global slot ids."""
         free = [i for i, r in enumerate(self.slot_req) if r is None]
         n = min(len(free), len(self.queue), a)
         items = [(self.queue.popleft(), free[i]) for i in range(n)]
 
+        base = 0 if self._spmd else self.slot0
         toks_np = np.zeros((a, bucket), np.int32)
         lens = np.ones(a, np.int32)
-        slots_np = np.full(a, self.slot0 + self.serve_w, np.int32)  # sink
+        slots_np = np.full(a, base + self.serve_w, np.int32)  # sink
         temps = np.zeros(a, np.float32)
         topps = np.ones(a, np.float32)
         keys = np.zeros((a, 2), np.uint32)
         for i, (req, slot) in enumerate(items):
             toks_np[i, :len(req.prompt_tokens)] = req.prompt_tokens
             lens[i] = len(req.prompt_tokens)
-            slots_np[i] = self.slot0 + slot
+            slots_np[i] = base + slot
             temps[i] = req.temperature
             topps[i] = req.topp
             keys[i] = (req.seed & 0xFFFFFFFF, req.id & 0xFFFFFFFF)
@@ -381,6 +471,14 @@ class MultiHostEngine:
         K = int(plans[:, _PLAN_KMAX].min())
         K = 1 << (max(K, 1).bit_length() - 1)
         greedy = bool(plans[:, _PLAN_GREEDY].all())
+        # bounded flash window: every host must compile the same s_bound,
+        # derived from the GLOBAL max position (fresh admissions included)
+        s_bound = 0
+        if self._kb.attn_bidx_factory is not None:
+            from fastllama_tpu.ops.pallas.flash_decode import round_bound
+            max_pos = max(int(plans[:, _PLAN_MAXPOS].max()),
+                          int(self.pos.max()))
+            s_bound = round_bound(max_pos + K, self.S)
 
         # fresh chunk keys: any uint32 pair is a valid threefry key; vary the
         # counter so resampling differs per chunk
@@ -389,7 +487,7 @@ class MultiHostEngine:
         kv[:, 1] = (kv[:, 1] + self._chunk_counter) & 0xFFFFFFFF
 
         t0 = time.perf_counter()
-        fn = self._get_chunk(K, greedy)
+        fn = self._get_chunk(K, greedy, s_bound)
         toks, self.cache = fn(
             self.params, self.cache,
             self._to_global(self.pending, self._sh_slot_i32),
@@ -423,6 +521,31 @@ class MultiHostEngine:
                 jnp.asarray([int(more or bool(self.queue))], jnp.int32)))
             if not flag.any():
                 return self.stats
+
+    def global_stats(self) -> BatchStats:
+        """Cross-host aggregate: sums token/request counters over every
+        host, takes the max wall times (hosts run in lockstep, so the max is
+        the fleet's wall clock).  ``aggregate_tps`` of the result is the
+        whole-pod decode throughput — the number the >=85% scaling gate
+        reads.  Collective: every host must call it."""
+        s = self.stats
+        vec = np.asarray([s.completed, s.total_prompt_tokens,
+                          s.total_output_tokens, s.decode_tokens,
+                          s.prefix_hits, s.prefix_rows_reused], np.int64)
+        times = np.asarray([s.decode_s, s.prefill_s], np.float64)
+        all_counts = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(vec))).reshape(self.n_hosts, -1).sum(axis=0)
+        all_times = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(times))).reshape(self.n_hosts, -1).max(axis=0)
+        return BatchStats(
+            completed=int(all_counts[0]),
+            total_prompt_tokens=int(all_counts[1]),
+            total_output_tokens=int(all_counts[2]),
+            decode_tokens=int(all_counts[3]),
+            prefix_hits=int(all_counts[4]),
+            prefix_rows_reused=int(all_counts[5]),
+            decode_s=float(all_times[0]),
+            prefill_s=float(all_times[1]))
 
     def generate_all(self, prompts: Sequence, **kw) -> List[Request]:
         reqs = [self.submit(p, **kw) for p in prompts]

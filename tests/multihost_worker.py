@@ -1,11 +1,12 @@
 """Subprocess worker for the 2-process multi-host serving test.
 
 Usage: python tests/multihost_worker.py <rank> <nprocs> <port> <ckpt> <tok>
-       <outfile>
+       <outfile> [spmd]
 
 Each rank serves its OWN prompts through MultiHostEngine (per-host admission
 over the 'data' axis, TP over 'model') and writes its outputs as JSON.
-"""
+``spmd=1`` switches on spmd_kernels + interpret-mode Pallas: the fused hot
+loop runs per shard under shard_map (the production multi-host path)."""
 import json
 import os
 import sys
@@ -28,6 +29,7 @@ PROMPTS = {
 def main() -> None:
     rank, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     ckpt, tokp, outfile = sys.argv[4], sys.argv[5], sys.argv[6]
+    spmd = len(sys.argv) > 7 and sys.argv[7] == "1"
     jax.distributed.initialize(f"localhost:{port}", num_processes=n,
                                process_id=rank)
     assert jax.process_count() == n
@@ -39,14 +41,20 @@ def main() -> None:
     eng = MultiHostEngine.load(
         ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
         EngineConfig(max_seq_len=64, max_batch_size=2,
-                     compute_dtype="float32"),
+                     compute_dtype="float32", spmd_kernels=spmd,
+                     pallas_interpret=spmd),
         decode_chunk=4)
+    if spmd:
+        assert eng._spmd, "spmd path must engage in the 2-process test"
     reqs = eng.generate_all(PROMPTS[rank], max_new_tokens=6,
                             temperature=0.0, stop_tokens=())
+    gstats = eng.global_stats()
     with open(outfile, "w") as f:
         json.dump({"rank": rank,
                    "outputs": [r.output_tokens for r in reqs],
-                   "completed": eng.stats.completed}, f)
+                   "completed": eng.stats.completed,
+                   "global_completed": gstats.completed,
+                   "global_decode_tokens": gstats.decode_tokens}, f)
 
 
 if __name__ == "__main__":

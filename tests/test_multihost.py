@@ -52,10 +52,13 @@ def test_multihost_engine_single_process(tmp_path):
     assert eng.stats.completed == 3
 
 
-def test_multihost_two_processes(tmp_path):
+@pytest.mark.parametrize("spmd", ["0", "1"])
+def test_multihost_two_processes(tmp_path, spmd):
     """Spawn 2 jax.distributed CPU processes (2 virtual devices each,
     mesh data=2 x model=2); each serves its own prompts; greedy outputs
-    must equal the single-process reference."""
+    must equal the single-process reference.  ``spmd=1`` runs the
+    production hot path: spmd_kernels + interpret-mode Pallas under
+    shard_map with data-sharded slots (VERDICT r2 #1)."""
     from fastllama_tpu.tools.synthetic import write_tiny_llama2c
     from tests.multihost_worker import PROMPTS
 
@@ -75,7 +78,7 @@ def test_multihost_two_processes(tmp_path):
         outs.append(out)
         procs.append(subprocess.Popen(
             [sys.executable, worker, str(rank), "2", str(port),
-             ckpt, tokp, out],
+             ckpt, tokp, out, spmd],
             env=env, cwd=os.path.dirname(os.path.dirname(worker)),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     logs = [p.communicate(timeout=600)[0].decode() for p in procs]
@@ -87,6 +90,11 @@ def test_multihost_two_processes(tmp_path):
     got = results[0]["outputs"] + results[1]["outputs"]
     assert got == want
     assert results[0]["completed"] == results[1]["completed"] == 2
+    # cross-host aggregate stats agree on both ranks and cover all 4 jobs
+    assert results[0]["global_completed"] == \
+        results[1]["global_completed"] == 4
+    assert results[0]["global_decode_tokens"] == \
+        results[1]["global_decode_tokens"] > 0
 
 
 def test_multihost_sampled_path(tmp_path):
@@ -111,3 +119,57 @@ def test_multihost_sampled_path(tmp_path):
     a, b = run(), run()
     assert a == b
     assert all(len(t) == 6 for t in a)
+
+
+def test_multihost_single_process_spmd_kernels(tmp_path):
+    """Single process, 2-device model axis, spmd_kernels + interpret
+    Pallas: the degenerate multi-host engine runs the per-shard fused hot
+    loop and still matches the plain BatchedEngine outputs."""
+    from fastllama_tpu.runtime.multihost import MultiHostEngine
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=CFG)
+    prompts = ["the cat sat", "a big dog ran", "one two three"]
+    want = _reference_outputs(ckpt, tokp, prompts)
+
+    eng = MultiHostEngine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=2,
+                     compute_dtype="float32", mesh="data=1,model=2",
+                     spmd_kernels=True, pallas_interpret=True),
+        decode_chunk=4)
+    assert eng._spmd
+    got = [r.output_tokens for r in eng.generate_all(
+        prompts, max_new_tokens=6, temperature=0.0, stop_tokens=())]
+    assert got == want
+    assert eng.global_stats().completed == 3
+
+
+def test_multihost_single_process_int8_kv_spmd(tmp_path):
+    """spmd multi-host path with the int8 KV cache (quantized per-row
+    scales shard over model, slots over data)."""
+    from fastllama_tpu.runtime.multihost import MultiHostEngine
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=CFG)
+    prompts = ["the cat sat", "a big dog ran"]
+    from fastllama_tpu.runtime.batching import BatchedEngine
+    base = BatchedEngine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=4,
+                     compute_dtype="float32", kv_dtype="int8"),
+        decode_chunk=4)
+    want = [r.output_tokens for r in base.generate_all(
+        prompts, max_new_tokens=6, temperature=0.0, stop_tokens=())]
+
+    eng = MultiHostEngine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=2,
+                     compute_dtype="float32", kv_dtype="int8",
+                     mesh="data=1,model=2", spmd_kernels=True,
+                     pallas_interpret=True),
+        decode_chunk=4)
+    assert eng._spmd
+    got = [r.output_tokens for r in eng.generate_all(
+        prompts, max_new_tokens=6, temperature=0.0, stop_tokens=())]
+    assert got == want

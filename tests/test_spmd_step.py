@@ -263,3 +263,45 @@ def test_batched_engine_spmd_int8kv_matches_default(tmp_path):
     got = [r.output_tokens for r in spmd.generate_all(
         prompts, max_new_tokens=6, temperature=0.0, stop_tokens=())]
     assert got == want
+
+
+def test_batched_engine_spmd_prefix_cache_matches_default(tmp_path):
+    """prefix_cache + spmd_kernels (round-2 flagged hazard): the tail
+    prefill runs through spmd_prefill_tail under shard_map with the
+    interpret-mode Pallas tail kernel; hit-path outputs must equal the
+    plain single-device engine's."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    from fastllama_tpu.config import EngineConfig
+    from fastllama_tpu.loaders.registry import FileType
+    from fastllama_tpu.runtime.batching import BatchedEngine
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    cfg = ModelConfig(dim=256, hidden_dim=256, n_layers=2, n_heads=8,
+                      n_kv_heads=8, vocab_size=512, max_seq_len=128,
+                      group_size=16)
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=cfg)
+    system = [(i * 5) % 400 + 2 for i in range(40)]
+    p1 = system + [7, 9]
+    p2 = system + [11, 13, 15]
+
+    def run(mesh, spmd):
+        eng = BatchedEngine.load(
+            ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+            EngineConfig(max_seq_len=128, max_batch_size=3,
+                         compute_dtype="float32", prefix_cache=True,
+                         mesh=mesh, spmd_kernels=spmd,
+                         pallas_interpret=spmd), decode_chunk=4)
+        r1 = eng.submit(p1, max_new_tokens=40, temperature=0.0,
+                        stop_tokens=())
+        eng.step()
+        r2 = eng.submit(p2, max_new_tokens=6, temperature=0.0,
+                        stop_tokens=())
+        eng.run()
+        return r1.output_tokens, r2.output_tokens, eng.stats
+
+    o1_base, o2_base, st_base = run("", False)
+    o1_sp, o2_sp, st_sp = run("data=1,model=2", True)
+    assert st_base.prefix_hits == st_sp.prefix_hits == 1
+    assert o1_sp == o1_base
+    assert o2_sp == o2_base

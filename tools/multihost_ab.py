@@ -1,0 +1,107 @@
+"""Same-chip A/B: MultiHostEngine (single-process degenerate) vs
+BatchedEngine on identical work — VERDICT r2 #1's second done-criterion
+(multi-host step time within ~10% of the single-host engine when both run
+the same hot path on one chip).
+
+Run on the TPU:  python tools/multihost_ab.py
+Env: AB_CONFIG=7b|1b|110m (default 7b), AB_BATCH (default 48), AB_TOKENS
+(default 128), AB_SEQ (default 512), AB_KV (default int8).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from fastllama_tpu.config import EngineConfig, ModelConfig, QuantType
+from fastllama_tpu.loaders.tokenizer import Tokenizer
+from fastllama_tpu.models.llama import random_params_int
+
+CONFIGS = {
+    "7b": ModelConfig(dim=4096, hidden_dim=11008, n_layers=32, n_heads=32,
+                      n_kv_heads=32, vocab_size=32000, max_seq_len=1024,
+                      quant_type=QuantType.INT8),
+    "1b": ModelConfig(dim=2048, hidden_dim=5632, n_layers=22, n_heads=32,
+                      n_kv_heads=4, vocab_size=32000, max_seq_len=1024,
+                      quant_type=QuantType.INT8),
+    "110m": ModelConfig(dim=768, hidden_dim=2048, n_layers=12, n_heads=12,
+                        n_kv_heads=12, vocab_size=32000, max_seq_len=1024,
+                        quant_type=QuantType.INT8),
+}
+
+
+def drive(eng, prompt, batch, n_tokens, warm_tokens=17):
+    for _ in range(batch):
+        eng.submit(prompt, max_new_tokens=warm_tokens, temperature=0.0,
+                   stop_tokens=())
+    t0 = time.perf_counter()
+    eng.run()
+    print(f"# warmup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    eng.stats.decode_s = eng.stats.prefill_s = 0.0
+    eng.stats.total_output_tokens = eng.stats.decode_tokens = 0
+    for _ in range(batch):
+        eng.submit(prompt, max_new_tokens=n_tokens + 1, temperature=0.0,
+                   stop_tokens=())
+    eng.run()
+    return eng.stats.aggregate_tps
+
+
+def main():
+    name = os.environ.get("AB_CONFIG", "7b")
+    batch = int(os.environ.get("AB_BATCH", "48"))
+    n_tokens = int(os.environ.get("AB_TOKENS", "128"))
+    seq = int(os.environ.get("AB_SEQ", "512"))
+    kv = os.environ.get("AB_KV", "int8")
+    chunk = int(os.environ.get("AB_CHUNK", "64"))
+    cfg = CONFIGS[name].replace(max_seq_len=seq)
+    tok = Tokenizer().finalize()
+    prompt = list(range(1, 44))
+
+    params = random_params_int(cfg, seed=0)
+    jax.block_until_ready(params.wq.data)
+    from fastllama_tpu.models.llama import fuse_params
+    # fuse ONCE and share (rebinding frees the unfused copy; two resident
+    # weight sets would blow the ~13 GB HBM cliff with the B=48 cache)
+    params = fuse_params(cfg, params)
+    fused = params
+    jax.block_until_ready(fused.wq.data)
+
+    from fastllama_tpu.runtime.batching import BatchedEngine
+    be = BatchedEngine(cfg, fused, tok,
+                       EngineConfig(max_seq_len=seq, kv_dtype=kv,
+                                    max_batch_size=batch,
+                                    fuse_weights=False),
+                       decode_chunk=chunk)
+    be_tps = drive(be, prompt, batch, n_tokens)
+    print(f"# BatchedEngine aggregate {be_tps:.1f} tok/s", file=sys.stderr)
+    del be
+
+    # MultiHostEngine: share the SAME fused params (a second fused copy
+    # would double weight HBM and blow the ~13 GB cliff); single process,
+    # one-device mesh -> degenerate lockstep, same kernels.
+    from fastllama_tpu.runtime.multihost import MultiHostEngine
+    mh = MultiHostEngine(cfg, fused, tok,
+                         EngineConfig(max_seq_len=seq, kv_dtype=kv,
+                                      max_batch_size=batch,
+                                      fuse_weights=False,
+                                      mesh="data=1,model=1"),
+                         decode_chunk=chunk)
+    mh_tps = drive(mh, prompt, batch, n_tokens)
+    print(f"# MultiHostEngine aggregate {mh_tps:.1f} tok/s", file=sys.stderr)
+
+    print(json.dumps({"config": name, "batch": batch,
+                      "batched_tok_s": round(be_tps, 1),
+                      "multihost_tok_s": round(mh_tps, 1),
+                      "ratio": round(mh_tps / be_tps, 3)}))
+
+
+if __name__ == "__main__":
+    main()

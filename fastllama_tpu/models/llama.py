@@ -453,6 +453,63 @@ def random_params_int(cfg: ModelConfig, seed: int = 0,
     return LlamaParams(**out)
 
 
+def truncate_params(cfg: ModelConfig, params: LlamaParams, n_layers: int
+                    ) -> tuple:
+    """(cfg', params') keeping only the FIRST ``n_layers`` layers — a
+    correlated draft model for speculative decoding built from the target
+    checkpoint itself (no second checkpoint needed; shares embedding /
+    classifier / final norm, so early-exit-style drafting).  Slices copy
+    n_layers/L of the stacked weights (extra HBM in that proportion)."""
+    if not 0 < n_layers <= cfg.n_layers:
+        raise ValueError(f"n_layers {n_layers} out of range")
+
+    def take(w):
+        if isinstance(w, QArray):
+            return QArray(w.data[:n_layers], w.scales[:n_layers], w.qtype,
+                          w.group_size, w.group_axis, w.packed)
+        return w[:n_layers]
+
+    p = LlamaParams(
+        embedding=params.embedding,
+        attn_norm=take(params.attn_norm), wq=take(params.wq),
+        wk=take(params.wk), wv=take(params.wv), wo=take(params.wo),
+        ffn_norm=take(params.ffn_norm), w1=take(params.w1),
+        w2=take(params.w2), w3=take(params.w3),
+        out_norm=params.out_norm, classifier=params.classifier)
+    return cfg.replace(n_layers=n_layers), p
+
+
+def requantize_params(cfg: ModelConfig, params: LlamaParams,
+                      qtype: QuantType) -> LlamaParams:
+    """Re-quantize every projection to ``qtype`` THROUGH the current
+    quantization (dequant -> quant, per tensor on device) — the
+    same-weights-lower-precision draft for speculative decoding.  Non-QArray
+    leaves and norms pass through."""
+    from fastllama_tpu.quant.groupquant import dequantize, quantize
+
+    @jax.jit
+    def requant_leaf(w):
+        fp = dequantize(w)
+        if w.group_axis == -2:       # groups along the contraction axis
+            q = quantize(jnp.swapaxes(fp, -1, -2), qtype, w.group_size)
+            return QArray(jnp.swapaxes(q.data, -1, -2),
+                          jnp.swapaxes(q.scales, -1, -2), qtype,
+                          w.group_size, -2, False)
+        q = quantize(fp, qtype, w.group_size)
+        return QArray(q.data, q.scales, qtype, w.group_size, w.group_axis,
+                      False)
+
+    def conv(w):
+        if isinstance(w, QArray):
+            if w.packed:
+                raise ValueError("requantize of packed INT4 not supported")
+            return requant_leaf(w)
+        return w
+
+    return LlamaParams(**{f.name: conv(getattr(params, f.name))
+                          for f in dataclasses.fields(LlamaParams)})
+
+
 def random_params(cfg: ModelConfig, seed: int = 0,
                   qtype: Optional[QuantType] = None,
                   scale: float = 0.02) -> LlamaParams:

@@ -399,6 +399,115 @@ def prefill_many(cfg: ModelConfig, params: LlamaParams,
     return logits.astype(jnp.float32), new_cache
 
 
+def spec_decode_step(cfg: ModelConfig, params: LlamaParams,
+                     tokens: jax.Array, pos: jax.Array,
+                     cache: BatchedKVCache, *,
+                     mm: Callable = qmatmul,
+                     mm_idx: Optional[Callable] = None,
+                     attn_sbidx: Optional[Callable] = None,
+                     spec_writer: Optional[Callable] = None,
+                     compute_dtype=jnp.float32
+                     ) -> Tuple[jax.Array, BatchedKVCache]:
+    """Batched speculative VERIFY: D tokens for every slot in one forward.
+
+    tokens (B, D) — slot b's rows sit at absolute positions
+    pos[b]..pos[b]+D-1 (row 0 is the slot's pending token, rows 1.. are its
+    drafts); returns logits (B, D, vocab) — the target's prediction after
+    each row — and the cache with the D fresh K/V rows written per slot
+    (rows past the accepted prefix are stale and masked by position,
+    exactly like the single-stream speculative engine's rounds).
+
+    The matmuls see a (B*D, dim) activation — the weight stream is
+    amortized over B*D rows, which is the whole point: at acceptance
+    ``a`` each accepted token costs 1/(1+a) of a decode step's HBM
+    traffic.  No reference analogue (one forward per token,
+    transformer.cpp:92-101).
+    """
+    from fastllama_tpu.quant.groupquant import quantize_rows
+    B, D = tokens.shape
+    hs, n_heads, n_kv = cfg.head_size, cfg.n_heads, cfg.n_kv_heads
+    proj = _make_proj(mm, mm_idx, compute_dtype)
+
+    x = embed_tokens(params.embedding, tokens.reshape(B * D), compute_dtype)
+    positions = pos[:, None] + jnp.arange(D, dtype=jnp.int32)[None]  # (B,D)
+    cos, sin = rope_tables(cfg, positions.reshape(-1), compute_dtype)
+    cos = cos.reshape(B, D, -1)
+    sin = sin.reshape(B, D, -1)
+
+    def scan_fn(x, layer):
+        l, attn_norm_l, ffn_norm_l = layer
+
+        h = rmsnorm(x, attn_norm_l, cfg.norm_eps)
+        q, k, v = _split_qkv(cfg, params, proj, h, l)
+        q = q.reshape(B, D, n_heads, hs).transpose(0, 2, 1, 3)
+        k = k.reshape(B, D, n_kv, hs).transpose(0, 2, 1, 3)
+        v = v.reshape(B, D, n_kv, hs).transpose(0, 2, 1, 3)
+        q = apply_rope_half(q, cos[:, None], sin[:, None])
+        k = apply_rope_half(k, cos[:, None], sin[:, None])
+
+        k_self = v_self = None
+        if cache.quantized:
+            # round-trip fresh rows through the cache quantizer BEFORE
+            # attention: verify row d attends row d' < d exactly as the
+            # sequential decode steps would (which read d' from the int8
+            # cache), while the DIAGONAL keeps the exact row (sequential
+            # attends its own fresh row pre-quantization).  The scan
+            # outputs the quantized bytes themselves so the cache write is
+            # the SAME quantization, not a re-quantization.
+            from fastllama_tpu.quant.groupquant import dequantize_rows
+            k_self, v_self = k, v
+            kq_, ksc_ = quantize_rows(k)
+            vq_, vsc_ = quantize_rows(v)
+            k = dequantize_rows(kq_, ksc_, compute_dtype)
+            v = dequantize_rows(vq_, vsc_, compute_dtype)
+            out_kv = (kq_, vq_, ksc_[..., 0], vsc_[..., 0])
+        else:
+            out_kv = None
+
+        o = attn_sbidx(q, cache, pos, l, k, v, k_self=k_self,
+                       v_self=v_self) if attn_sbidx is not None else None
+        if o is None:                              # jnp fallback
+            from fastllama_tpu.ops.attention import gqa_attention_spec_batched
+            ck_l, cv_l = _layer_slices(cache, l, compute_dtype)
+            o = gqa_attention_spec_batched(q, ck_l, cv_l, k, v, pos,
+                                           k_self=k_self, v_self=v_self)
+        o = o.transpose(0, 2, 1, 3).reshape(B * D, n_heads * hs)
+        x = x + proj(o, params.wo, l)
+
+        h = rmsnorm(x, ffn_norm_l, cfg.norm_eps)
+        x = x + _ffn(cfg, params, proj, h, l)
+        return x, (out_kv if out_kv is not None else (k, v))
+
+    xs = (jnp.arange(cfg.n_layers, dtype=jnp.int32),
+          params.attn_norm, params.ffn_norm)
+    if cache.quantized:
+        x, (kq, vq, ks2, vs2) = jax.lax.scan(scan_fn, x, xs)
+    else:
+        x, (ks, vs) = jax.lax.scan(scan_fn, x, xs)  # (L, B, n_kv, D, hs)
+        kq, vq = ks.astype(cache.k.dtype), vs.astype(cache.v.dtype)
+        ks2 = vs2 = None
+    if spec_writer is not None:
+        new_cache = spec_writer(cache, kq, vq, ks2, vs2, pos)
+    else:
+        ck, cv = cache.k, cache.v
+        ksc, vsc = cache.k_scale, cache.v_scale
+        for b in range(B):
+            ck = jax.lax.dynamic_update_slice(
+                ck, kq[:, b][:, None], (0, b, 0, pos[b], 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, vq[:, b][:, None], (0, b, 0, pos[b], 0))
+            if cache.quantized:
+                ksc = jax.lax.dynamic_update_slice(
+                    ksc, ks2[:, b][:, None], (0, b, 0, pos[b]))
+                vsc = jax.lax.dynamic_update_slice(
+                    vsc, vs2[:, b][:, None], (0, b, 0, pos[b]))
+        new_cache = BatchedKVCache(ck, cv, ksc, vsc)
+
+    x = rmsnorm(x, params.out_norm, cfg.norm_eps)
+    logits = mm(x, params.classifier)                    # (B*D, V)
+    return logits.reshape(B, D, -1).astype(jnp.float32), new_cache
+
+
 def decode_step(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array,
                 pos: jax.Array, cache: BatchedKVCache, *,
                 mm: Callable = qmatmul,

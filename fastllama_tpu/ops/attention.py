@@ -108,6 +108,74 @@ def gqa_attention_decode_batched(q: jax.Array, k_cache: jax.Array,
     return out.reshape(B, n_heads, hs).astype(q.dtype)
 
 
+def gqa_attention_spec_batched(q: jax.Array, k_cache: jax.Array,
+                               v_cache: jax.Array, k_new: jax.Array,
+                               v_new: jax.Array, pos: jax.Array,
+                               k_self=None, v_self=None) -> jax.Array:
+    """T-row per-slot attention with DEFERRED cache writes — the batched
+    speculative-verify primitive: slot b's T query rows sit at absolute
+    positions pos[b]..pos[b]+T-1, attend cache rows [0, pos[b]) STRICTLY
+    plus the causal prefix of the fresh K/V block (not yet written).
+
+    q: (B, n_heads, T, hs); caches (B, n_kv, S, hs); k_new/v_new
+    (B, n_kv, T, hs); pos (B,).  With a quantized cache, ``k_new/v_new``
+    are the quantize-roundtripped rows (what the sequential steps would
+    read back) while ``k_self/v_self`` carry the EXACT rows used only on
+    the diagonal — matching sequential decode, where a step's own fresh
+    row is attended pre-quantization.  Returns (B, n_heads, T, hs)."""
+    B, n_heads, T, hs = q.shape
+    _, n_kv, S, _ = k_cache.shape
+    hgs = n_heads // n_kv
+
+    qf = q.reshape(B, n_kv, hgs, T, hs).astype(jnp.float32)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+    scale = 1.0 / jnp.sqrt(jnp.float32(hs))
+
+    scores = jnp.einsum("bkgth,bksh->bkgts", qf, kf,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32) * scale
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    mask = s_idx < pos[:, None]                     # strict: rows >= pos stale
+    scores = jnp.where(mask[:, None, None, None], scores, NEG_INF)
+
+    # causal fresh block: query t attends fresh rows j <= t
+    s_new = jnp.einsum("bkgth,bkjh->bkgtj", qf, k_new.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32) * scale
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    if k_self is not None:
+        # diagonal (self) scores from the exact rows
+        s_diag = jnp.einsum("bkgth,bkth->bkgt", qf,
+                            k_self.astype(jnp.float32),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32) * scale
+        eye = (j_idx == t_idx)[None, None, None]
+        s_new = jnp.where(eye, s_diag[..., None], s_new)
+    s_new = jnp.where((j_idx <= t_idx)[None, None, None], s_new, NEG_INF)
+
+    all_scores = jnp.concatenate([scores, s_new], axis=-1)  # (B,k,g,T,S+T)
+    probs = jax.nn.softmax(all_scores, axis=-1)
+    out = jnp.einsum("bkgts,bksh->bkgth", probs[..., :S], vf,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    pn = probs[..., S:]
+    if v_self is not None:
+        # self value from the exact row; zero the diagonal for the
+        # quantized-block contribution
+        eye = (j_idx == t_idx)[None, None, None]
+        diag_p = jnp.sum(jnp.where(eye, pn, 0.0), axis=-1)      # (B,k,g,T)
+        pn = jnp.where(eye, 0.0, pn)
+        out = out + diag_p[..., None] * \
+            v_self.astype(jnp.float32)[:, :, None, :, :]
+    out = out + jnp.einsum("bkgtj,bkjh->bkgth", pn,
+                           v_new.astype(jnp.float32),
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+    return out.reshape(B, n_heads, T, hs).astype(q.dtype)
+
+
 def gqa_attention_batched(q: jax.Array, k_cache: jax.Array,
                           v_cache: jax.Array, pos: jax.Array) -> jax.Array:
     """Per-slot masked GQA attention (the continuous-batching decode path).

@@ -514,3 +514,216 @@ def make_attn_indexed_flash(s_bound: int = 0, interpret: bool = False):
         return gqa_attention(q, kc_l, vc_l, pos)
 
     return attn_idx
+
+
+def _flash_spec_kernel(scalars_ref, q_ref, k_ref, v_ref, *rest,
+                       scale: float, block_s: int, nblocks: int, T: int,
+                       quantized: bool = False, exact_diag: bool = False):
+    """T-query-row bounded attention PER SLOT over the stacked batched
+    cache — the batched speculative-verify primitive: slot b's T rows at
+    positions pos[b]..pos[b]+T-1 attend cache rows [0, pos[b]) strictly
+    plus the causal fresh block.  Grid (B, n_kv//HB, NB); scalars =
+    [layer, pos[0..B)].  With ``exact_diag`` two extra fresh operands
+    carry the pre-quantization rows used only on the block diagonal
+    (sequential-decode numerics parity, models/batched.spec_decode_step).
+    """
+    rest = list(rest)
+    ks_ref = vs_ref = None
+    if quantized:
+        ks_ref, vs_ref = rest[0], rest[1]
+        rest = rest[2:]
+    kn_ref, vn_ref = rest[0], rest[1]
+    rest = rest[2:]
+    ke_ref = ve_ref = None
+    if exact_diag:
+        ke_ref, ve_ref = rest[0], rest[1]
+        rest = rest[2:]
+    o_ref, m_scr, l_scr, acc_scr = rest
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+    _, HB, hgs, _, hs = q_ref.shape
+    R = HB * hgs * T
+    start = scalars_ref[1 + b]
+    cap = (start - 1) // block_s                   # strict: row start stale
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    def qrows():
+        return q_ref[0].astype(jnp.float32).reshape(HB, hgs * T, hs)
+
+    @pl.when(j <= cap)
+    def _():
+        q = qrows()
+        k = k_ref[0, 0].astype(jnp.float32)        # (HB, BS, hs)
+        v = v_ref[0, 0].astype(jnp.float32)
+        s = jnp.concatenate([
+            jax.lax.dot_general(
+                q[h], k[h], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for h in range(HB)], axis=0) * scale   # (R, BS)
+        if quantized:
+            s = s * jnp.repeat(ks_ref[0, 0], hgs * T, axis=0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, block_s), 1) \
+            + j * block_s
+        s = jnp.where(col < start, s, NEG_INF)
+
+        m = m_scr[:, :1]
+        m2 = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        corr = jnp.exp(m - m2)
+        e = jnp.exp(s - m2)
+        m_scr[:, :1] = m2
+        l_scr[:, :1] = l_scr[:, :1] * corr + jnp.sum(e, axis=-1,
+                                                     keepdims=True)
+        if quantized:
+            e = e * jnp.repeat(vs_ref[0, 0], hgs * T, axis=0)
+        pv = jnp.concatenate([
+            jax.lax.dot_general(
+                e[h * hgs * T:(h + 1) * hgs * T], v[h],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for h in range(HB)], axis=0)
+        acc_scr[:] = acc_scr[:] * corr + pv
+
+    @pl.when(j == nblocks - 1)
+    def _():
+        q = qrows()
+        kn = kn_ref[0].astype(jnp.float32)         # (HB, T, hs)
+        vn = vn_ref[0].astype(jnp.float32)
+        s_blk = jnp.concatenate([
+            jax.lax.dot_general(
+                q[h], kn[h], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for h in range(HB)], axis=0) * scale   # (R, T)
+        row_t = jax.lax.broadcasted_iota(jnp.int32, (R, T), 0) % T
+        col_t = jax.lax.broadcasted_iota(jnp.int32, (R, T), 1)
+        diag = col_t == row_t
+        if exact_diag:
+            ke = ke_ref[0].astype(jnp.float32)
+            s_diag = jnp.concatenate([
+                jax.lax.dot_general(
+                    q[h], ke[h], dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                for h in range(HB)], axis=0) * scale
+            s_blk = jnp.where(diag, s_diag, s_blk)
+        s_blk = jnp.where(col_t <= row_t, s_blk, NEG_INF)
+        m = m_scr[:, :1]
+        m2 = jnp.maximum(m, jnp.max(s_blk, axis=-1, keepdims=True))
+        corr = jnp.exp(m - m2)
+        e = jnp.exp(s_blk - m2)
+        l2 = l_scr[:, :1] * corr + jnp.sum(e, axis=-1, keepdims=True)
+        if exact_diag:
+            ve = ve_ref[0].astype(jnp.float32)
+            e_diag = jnp.where(diag, e, 0.0)
+            e = jnp.where(diag, 0.0, e)
+            pv_diag = jnp.concatenate([
+                jax.lax.dot_general(
+                    e_diag[h * hgs * T:(h + 1) * hgs * T], ve[h],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                for h in range(HB)], axis=0)
+        pv = jnp.concatenate([
+            jax.lax.dot_general(
+                e[h * hgs * T:(h + 1) * hgs * T], vn[h],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for h in range(HB)], axis=0)
+        if exact_diag:
+            pv = pv + pv_diag
+        acc = acc_scr[:] * corr + pv
+        o_ref[:] = (acc / l2).reshape(1, HB, hgs, T, hs).astype(o_ref.dtype)
+
+
+def flash_spec_batched(q: jax.Array, ck: jax.Array, cv: jax.Array,
+                       pos: jax.Array, layer, s_bound: int = 0,
+                       block_s: int = DEFAULT_BLOCK,
+                       interpret: bool = False,
+                       k_scale=None, v_scale=None,
+                       k_new=None, v_new=None,
+                       k_self=None, v_self=None) -> jax.Array:
+    """Batched T-row speculative-verify attention over the FULL stacked
+    cache.  q (B, n_heads, T, hs); caches (L, B, n_kv, S, hs); pos (B,);
+    k_new/v_new (B, n_kv, T, hs) fresh (quantize-roundtripped when the
+    cache is int8); k_self/v_self the exact diagonal rows (or None).
+    Returns (B, n_heads, T, hs)."""
+    B, n_heads, T, hs = q.shape
+    L, Bc, n_kv, S, _ = ck.shape
+    s_bound = min(s_bound or S, S)
+    NB = -(-s_bound // block_s)
+    HB = _head_block(n_kv)
+    hgs = n_heads // n_kv
+    qh = q.reshape(B, n_kv, hgs, T, hs)
+    scalars = jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
+                               pos.astype(jnp.int32)])
+    quantized = k_scale is not None
+    exact_diag = k_self is not None
+
+    kernel = functools.partial(
+        _flash_spec_kernel, scale=1.0 / float(hs) ** 0.5, block_s=block_s,
+        nblocks=NB, T=T, quantized=quantized, exact_diag=exact_diag)
+    kv_spec = pl.BlockSpec((1, 1, HB, block_s, hs),
+                           lambda b, h, j, s: (s[0], b, h, j, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, HB, hgs, T, hs), lambda b, h, j, s: (b, h, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        kv_spec, kv_spec,
+    ]
+    operands = [qh, ck, cv]
+    if quantized:
+        sc_spec = pl.BlockSpec((1, 1, HB, block_s),
+                               lambda b, h, j, s: (s[0], b, h, j),
+                               memory_space=pltpu.VMEM)
+        in_specs += [sc_spec, sc_spec]
+        operands += [k_scale, v_scale]
+    fr_spec = pl.BlockSpec((1, HB, T, hs), lambda b, h, j, s: (b, h, 0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs += [fr_spec, fr_spec]
+    operands += [k_new, v_new]
+    if exact_diag:
+        in_specs += [fr_spec, fr_spec]
+        operands += [k_self, v_self]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_kv // HB, NB),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, HB, hgs, T, hs),
+                               lambda b, h, j, s: (b, h, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((HB * hgs * T, 128), jnp.float32),
+            pltpu.VMEM((HB * hgs * T, 128), jnp.float32),
+            pltpu.VMEM((HB * hgs * T, hs), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, n_kv, hgs, T, hs), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_heads * T * (s_bound + T) * hs * 2,
+            bytes_accessed=2 * B * n_kv * s_bound * hs * ck.dtype.itemsize,
+            transcendentals=B * n_heads * T * (s_bound + T)),
+        interpret=interpret,
+    )(scalars, *operands)
+    return out.reshape(B, n_heads, T, hs)
+
+
+def make_attn_spec_batched(s_bound: int = 0, interpret: bool = False):
+    """attn_sbidx(q, cache, pos, layer, k_new, v_new, k_self=, v_self=)
+    for models.batched.spec_decode_step; returns None where shapes don't
+    fit (caller falls back to the jnp path)."""
+    def attn_sbidx(q, cache, pos, layer, k_new, v_new, k_self=None,
+                   v_self=None):
+        bs = _block_size(cache.k.shape[3])
+        if q.shape[3] % 8 == 0 and bs:
+            return flash_spec_batched(
+                q, cache.k, cache.v, pos, layer, s_bound, bs, interpret,
+                k_scale=cache.k_scale, v_scale=cache.v_scale,
+                k_new=k_new, v_new=v_new, k_self=k_self, v_self=v_self)
+        return None
+
+    return attn_sbidx

@@ -1,0 +1,260 @@
+"""Batched speculative decoding — speculation inside the serving engine.
+
+Single-stream speculation (runtime/speculative.py) breaks the weight
+-streaming bound for ONE stream; this module applies the same trick to the
+continuous-batching engine: every decode round drafts D-1 tokens PER SLOT
+(draft-free n-gram prompt-lookup over a device-resident per-slot history)
+and verifies them with ONE target forward over (B, D) rows
+(models/batched.spec_decode_step) — the weight stream and each slot's KV
+read amortize over every ACCEPTED token, so at acceptance ``a`` the
+per-token HBM traffic drops toward 1/(1+a) of a plain decode step.  This
+is the aggregate-throughput lever VERDICT r2 #4 asked for: at serving
+batch, plain decode already amortizes weights over B slots, but the KV
+-cache stream (the dominant term at long contexts) only amortizes through
+speculation.
+
+Correctness property (tested): greedy outputs ALWAYS equal the plain
+BatchedEngine's, for any draft quality — acceptance only changes speed.
+
+Scheduling: rounds advance each slot by a variable 1..D tokens (per-slot
+positions already exist); R rounds run per device call with the history,
+pending tokens and positions carried on device.  Near the context limit
+(no full D-row block fits) the engine falls back to the parent's plain
+chunks, preserving the exact generation contract.
+
+No reference analogue (one forward per token, transformer.cpp:92-101).
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastllama_tpu.config import EngineConfig, ModelConfig
+from fastllama_tpu.loaders.tokenizer import Tokenizer
+from fastllama_tpu.models.batched import spec_decode_step
+from fastllama_tpu.models.llama import LlamaParams
+from fastllama_tpu.runtime.batching import DEFAULT_CHUNK, BatchedEngine
+
+
+def ngram_draft_batched(hist: jax.Array, hlen: jax.Array, n: int, D: int
+                        ) -> jax.Array:
+    """Per-slot prompt-lookup drafting, fully on device: the most recent
+    earlier occurrence of slot b's trailing n-gram proposes the D tokens
+    that followed it.  hist (B, H) int32, hlen (B,) valid lengths
+    (including the pending token).  Returns (B, D) int32 (zeros when no
+    match — they'll just be rejected)."""
+    H = hist.shape[1]
+
+    def one(hist_b, hlen_b):
+        tail = jax.lax.dynamic_slice(hist_b, (hlen_b - n,), (n,))
+        idx = jnp.arange(H)[:, None] + jnp.arange(n)[None, :]
+        vals = hist_b[jnp.clip(idx, 0, H - 1)]
+        match = jnp.all(vals == tail[None, :], axis=1) & \
+            (jnp.arange(H) < hlen_b - n)
+        s = jnp.max(jnp.where(match, jnp.arange(H), -1))
+        take = jnp.clip(s + n + jnp.arange(D), 0, H - 1)
+        return jnp.where((s >= 0) & (s + n + jnp.arange(D) < hlen_b),
+                         hist_b[take], 0).astype(jnp.int32)
+
+    return jax.vmap(one)(hist, hlen)
+
+
+class SpecBatchedEngine(BatchedEngine):
+    """BatchedEngine whose decode chunks run speculative rounds.
+
+    ``width``: verify rows per slot per round (1 pending + width-1 drafts);
+    ``ngram``: lookup n-gram length; ``rounds_per_chunk``: rounds per
+    device call.  Greedy-only (temperature 0); sampled requests fall back
+    to plain chunks."""
+
+    def __init__(self, config: ModelConfig, params: LlamaParams,
+                 tokenizer: Tokenizer,
+                 engine_config: Optional[EngineConfig] = None,
+                 decode_chunk: int = DEFAULT_CHUNK,
+                 width: int = 4, ngram: int = 3, rounds_per_chunk: int = 8):
+        super().__init__(config, params, tokenizer, engine_config,
+                         decode_chunk)
+        if width < 2:
+            raise ValueError("speculation needs width >= 2")
+        if self._spmd:
+            raise NotImplementedError(
+                "batched speculation under spmd_kernels is round-4 work; "
+                "run it single-device or with GSPMD off")
+        self.width = width
+        self.ngram = ngram
+        self.R = max(1, rounds_per_chunk)
+        self.spec_drafted = 0
+        self.spec_accepted = 0
+        # device-resident per-slot token history (prompt + emitted tokens,
+        # including the pending one); length = pos + 1 for live slots
+        self._hist = jnp.zeros((self.B, self.S + width + 1), jnp.int32)
+        self._spec_fns = {}
+        self._attn_sbidx_factory = None
+        if self._attn_bidx is not None:            # pallas path active
+            from functools import partial
+            from fastllama_tpu.ops.pallas.flash_decode import \
+                make_attn_spec_batched
+            self._attn_sbidx_factory = partial(
+                make_attn_spec_batched, interpret=self.ec.pallas_interpret)
+
+    @staticmethod
+    def load_spec(ckpt_path: str, tokenizer_path: str = "",
+                  file_type=None, qtype=None,
+                  engine_config: Optional[EngineConfig] = None,
+                  decode_chunk: int = DEFAULT_CHUNK, width: int = 4,
+                  ngram: int = 3, rounds_per_chunk: int = 8,
+                  device_put=None) -> "SpecBatchedEngine":
+        from fastllama_tpu.loaders.registry import (FileType,
+                                                    resolve_and_build)
+        cfg, params, tok = resolve_and_build(
+            ckpt_path, tokenizer_path, file_type or FileType.UNKNOWN, qtype,
+            engine_config, device_put)
+        return SpecBatchedEngine(cfg, params, tok, engine_config,
+                                 decode_chunk, width, ngram,
+                                 rounds_per_chunk)
+
+    # -- compiled spec chunk -------------------------------------------------
+
+    def _get_spec_chunk(self, R: int, s_bound: int):
+        key_ = (R, s_bound)
+        if key_ not in self._spec_fns:
+            cfg, mm, mi = self.config, self._mm, self._mm_idx
+            cdt, S, D, n = self._cdt, self.S, self.width, self.ngram
+            ab = (self._attn_sbidx_factory(s_bound)
+                  if self._attn_sbidx_factory is not None else None)
+
+            def chunk(params, cache, pending, pos, hist):
+                def round_fn(carry, _):
+                    pending, pos, cache, hist = carry
+                    ys = ngram_draft_batched(hist, pos + 1, n, D)   # (B, D)
+                    batch = jnp.concatenate(
+                        [pending[:, None], ys[:, :D - 1]], axis=1)
+                    lg, cache = spec_decode_step(
+                        cfg, params, batch, pos, cache,
+                        mm=mm, mm_idx=mi, attn_sbidx=ab, compute_dtype=cdt)
+                    g = jnp.argmax(lg, axis=-1).astype(jnp.int32)   # (B, D)
+                    ok = (ys[:, :D - 1] == g[:, :D - 1]).astype(jnp.int32)
+                    a = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)    # (B,)
+                    pending = jnp.take_along_axis(g, a[:, None], 1)[:, 0]
+                    # write ALL D candidate rows after the current history
+                    # head; rows past the accepted prefix are garbage but
+                    # sit beyond the new hist length, which masks them
+                    hist = jax.vmap(
+                        lambda h, u, p: jax.lax.dynamic_update_slice(
+                            h, u, (p,)))(hist, g, pos + 1)
+                    pos = pos + a + 1                 # caller bounds pos+R*D
+                    return (pending, pos, cache, hist), (g, a)
+
+                (pending, pos, cache, hist), (gs, accs) = jax.lax.scan(
+                    round_fn, (pending, pos, cache, hist), length=R)
+                return gs, accs, cache, hist, pending, pos
+
+            self._spec_fns[key_] = jax.jit(
+                chunk, donate_argnums=(1,) if self.ec.donate_cache else ())
+        return self._spec_fns[key_]
+
+    # -- scheduling ----------------------------------------------------------
+
+    def _write_history(self, slots) -> None:
+        """Seed the device history for freshly admitted slots: prompt
+        tokens + the prefill-sampled pending token."""
+        H = self._hist.shape[1]
+        rows = np.zeros((len(slots), H), np.int32)
+        for i, b in enumerate(slots):
+            req = self.slot_req[b]
+            toks = req.prompt_tokens + [self.pending[b]]
+            rows[i, :len(toks)] = toks
+        self._hist = self._hist.at[jnp.asarray(slots, jnp.int32)].set(
+            jnp.asarray(rows))
+
+    def step(self) -> bool:
+        before = [r is not None for r in self.slot_req]
+        self._admit_pending()
+        newly = [b for b, r in enumerate(self.slot_req)
+                 if r is not None and not before[b]]
+        if newly:
+            self._write_history(newly)
+
+        live = self._live_slots()
+        if not live:
+            return bool(self.queue)
+
+        D = self.width
+        greedy = all(self.slot_req[b].temperature <= 0.0 for b in live)
+        room = self.S - int(self.pos.max()) - 1
+        min_budget = min(self.slot_req[b].max_new_tokens
+                         - len(self.slot_req[b].output_tokens) for b in live)
+        R = min(self.R, room // D, max(1, min_budget // D))
+        if not greedy or R < 1:
+            # near the limit / sampled: plain chunks keep the contract
+            K, greedy_only = self._plan_chunk(live)
+            t0 = time.perf_counter()
+            toks = self._dispatch_chunk(K, greedy_only,
+                                        jnp.asarray(self.pending),
+                                        jnp.asarray(self.pos),
+                                        int(self.pos.max()))
+            toks_np = np.asarray(toks)
+            self.stats.decode_s += time.perf_counter() - t0
+            self._apply_chunk(toks_np, K, live)
+            # plain chunks don't maintain the history; resync live slots
+            self._resync_history()
+            return bool(self.queue) or bool(self._live_slots())
+
+        s_bound = 0
+        if self._attn_bidx_factory is not None:
+            from fastllama_tpu.ops.pallas.flash_decode import round_bound
+            s_bound = round_bound(int(self.pos.max()) + R * D, self.S)
+
+        t0 = time.perf_counter()
+        fn = self._get_spec_chunk(R, s_bound)
+        gs, accs, self.cache, self._hist, pend_dev, pos_dev = fn(
+            self.params, self.cache, jnp.asarray(self.pending),
+            jnp.asarray(self.pos), self._hist)
+        gs_np = np.asarray(gs)                        # (R, B, D)
+        accs_np = np.asarray(accs)                    # (R, B)
+        self.stats.decode_s += time.perf_counter() - t0
+
+        for b in live:
+            for r in range(R):
+                if self.slot_req[b] is None:
+                    break
+                a = int(accs_np[r, b])
+                self.spec_drafted += D - 1
+                self.spec_accepted += a
+                for t in gs_np[r, b, :a + 1]:
+                    if self.slot_req[b] is None:
+                        break
+                    self._emit(b, int(t))
+        # mirror device positions, park freed/idle slots
+        adv = accs_np.sum(axis=0) + R                 # (B,)
+        self.pos = np.minimum(self.pos + adv.astype(np.int32), self.S - 1)
+        self.pending = np.asarray(pend_dev).astype(np.int32)
+        for b in range(self.B):
+            if self.slot_req[b] is None:
+                self.pos[b] = 0
+                self.pending[b] = 0
+        return bool(self.queue) or bool(self._live_slots())
+
+    def _resync_history(self) -> None:
+        """After a plain (non-spec) chunk, rebuild live slots' device
+        histories from host state."""
+        live = self._live_slots()
+        if live:
+            H = self._hist.shape[1]
+            rows = np.zeros((len(live), H), np.int32)
+            for i, b in enumerate(live):
+                req = self.slot_req[b]
+                toks = (req.prompt_tokens + req.output_tokens
+                        )[:int(self.pos[b])] + [int(self.pending[b])]
+                rows[i, :len(toks)] = toks
+            self._hist = self._hist.at[jnp.asarray(live, jnp.int32)].set(
+                jnp.asarray(rows))
+
+    @property
+    def acceptance(self) -> float:
+        return (self.spec_accepted / self.spec_drafted
+                if self.spec_drafted else 0.0)

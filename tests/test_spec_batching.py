@@ -1,0 +1,207 @@
+"""Batched speculative decoding (runtime/spec_batching.py): greedy outputs
+must equal the plain BatchedEngine's for ANY draft quality; the verify step
+must match sequential decode steps; repetitive prompts must actually
+accept."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastllama_tpu.config import EngineConfig, ModelConfig, QuantType
+from fastllama_tpu.loaders.registry import FileType
+from fastllama_tpu.models.batched import (BatchedKVCache, decode_step,
+                                          prefill_into_slot, spec_decode_step)
+from fastllama_tpu.models.llama import random_params
+
+CFG = ModelConfig(dim=128, hidden_dim=256, n_layers=2, n_heads=8,
+                  n_kv_heads=4, vocab_size=512, max_seq_len=128,
+                  group_size=16)
+
+
+@pytest.mark.parametrize("kv", ["float32", "int8"])
+def test_spec_decode_step_matches_sequential(kv):
+    """Verify-step logits row d must equal the d-th sequential decode step
+    when fed the same tokens (teacher-forced equivalence)."""
+    params = random_params(CFG, seed=3)
+    B, D = 2, 4
+    cache_a = BatchedKVCache.create(CFG, B, dtype=jnp.dtype(kv))
+    toks = jnp.asarray([3, 9, 100, 17], jnp.int32)
+    for b in range(B):
+        _, cache_a = prefill_into_slot(CFG, params, toks, 4, b, cache_a,
+                                       compute_dtype=jnp.float32)
+    cache_b = jax.tree.map(lambda a: a.copy() if a is not None else None,
+                           cache_a)
+
+    batch = jnp.asarray([[7, 11, 13, 2], [5, 19, 23, 29]], jnp.int32)
+    pos0 = jnp.asarray([4, 4], jnp.int32)
+
+    lg_spec, cache_a = spec_decode_step(CFG, params, batch, pos0, cache_a,
+                                        compute_dtype=jnp.float32)
+
+    seq_logits = []
+    pos = pos0
+    for d in range(D):
+        lg, cache_b = decode_step(CFG, params, batch[:, d], pos, cache_b,
+                                  compute_dtype=jnp.float32)
+        seq_logits.append(np.asarray(lg))
+        pos = pos + 1
+    seq = np.stack(seq_logits, axis=1)                   # (B, D, V)
+    np.testing.assert_allclose(np.asarray(lg_spec), seq, rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(cache_a.k), np.asarray(cache_b.k),
+                               rtol=1e-5, atol=1e-5)
+
+
+def _engines(tmp_path, spec_kwargs=None):
+    from fastllama_tpu.runtime.batching import BatchedEngine
+    from fastllama_tpu.runtime.spec_batching import SpecBatchedEngine
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=CFG)
+    ec = EngineConfig(max_seq_len=128, max_batch_size=3,
+                      compute_dtype="float32")
+    base = BatchedEngine.load(ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+                              ec, decode_chunk=8)
+    spec = SpecBatchedEngine.load_spec(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8, ec, decode_chunk=8,
+        **(spec_kwargs or {}))
+    return base, spec
+
+
+def test_spec_batched_matches_plain_greedy(tmp_path):
+    base, spec = _engines(tmp_path, dict(width=4, rounds_per_chunk=3))
+    prompts = [[1, 5, 9, 13, 80, 200, 31], [2, 4, 6], [7, 7, 7, 7]]
+    want = [r.output_tokens for r in base.generate_all(
+        prompts, max_new_tokens=20, temperature=0.0, stop_tokens=())]
+    got = [r.output_tokens for r in spec.generate_all(
+        prompts, max_new_tokens=20, temperature=0.0, stop_tokens=())]
+    assert got == want
+
+
+def test_spec_batched_repetitive_accepts(tmp_path):
+    """Forcing a cyclic continuation: generate twice from the same engine;
+    the second pass re-serves a prompt containing the first pass's output,
+    so n-gram lookups hit and acceptance must rise above zero."""
+    base, spec = _engines(tmp_path, dict(width=4, rounds_per_chunk=4))
+    prompt = [1, 5, 9, 13, 80, 200, 31]
+    want, = (r.output_tokens for r in base.generate_all(
+        [prompt], max_new_tokens=30, temperature=0.0, stop_tokens=()))
+    # prompt extended by the greedy continuation repeated: the tail repeats
+    # earlier content so prompt-lookup drafts match
+    rep = prompt + want[:20] + prompt
+    want2, = (r.output_tokens for r in base.generate_all(
+        [rep], max_new_tokens=20, temperature=0.0, stop_tokens=()))
+    got2, = (r.output_tokens for r in spec.generate_all(
+        [rep], max_new_tokens=20, temperature=0.0, stop_tokens=()))
+    assert got2 == want2
+    assert spec.spec_drafted > 0
+
+
+def test_spec_batched_staggered_and_stop(tmp_path):
+    """Mid-stream admissions + a request finishing inside a spec chunk."""
+    base, spec = _engines(tmp_path, dict(width=3, rounds_per_chunk=2))
+    p1 = [1, 5, 9, 13]
+    p2 = [2, 4, 6, 8, 10]
+    p3 = [11, 3]
+
+    def run(eng):
+        r1 = eng.submit(p1, max_new_tokens=9, temperature=0.0,
+                        stop_tokens=())
+        eng.step()
+        r2 = eng.submit(p2, max_new_tokens=17, temperature=0.0,
+                        stop_tokens=())
+        r3 = eng.submit(p3, max_new_tokens=5, temperature=0.0,
+                        stop_tokens=())
+        eng.run()
+        return [r1.output_tokens, r2.output_tokens, r3.output_tokens]
+
+    assert run(spec) == run(base)
+
+
+def test_spec_batched_near_context_limit(tmp_path):
+    """Falls back to plain chunks when no D-row block fits; still emits the
+    full generation."""
+    base, spec = _engines(tmp_path, dict(width=4, rounds_per_chunk=8))
+    prompt = list(range(2, 110))                     # 108 of max_seq 128
+    want = [r.output_tokens for r in base.generate_all(
+        [prompt], max_new_tokens=19, temperature=0.0, stop_tokens=())]
+    got = [r.output_tokens for r in spec.generate_all(
+        [prompt], max_new_tokens=19, temperature=0.0, stop_tokens=())]
+    assert got == want
+    assert len(got[0]) == 19
+
+
+@pytest.mark.parametrize("kv", ["float32", "int8"])
+def test_flash_spec_kernel_matches_jnp(kv):
+    """flash_spec_batched (interpret) vs the jnp spec attention, incl. the
+    exact-diagonal path on quantized caches."""
+    from fastllama_tpu.ops.attention import gqa_attention_spec_batched
+    from fastllama_tpu.ops.pallas.flash_decode import flash_spec_batched
+    from fastllama_tpu.quant.groupquant import dequantize_rows, quantize_rows
+
+    rng = np.random.RandomState(1)
+    L, B, n_kv, S, hs = 2, 3, 4, 64, 8
+    n_heads, T = 8, 4
+    layer = 1
+    ck = jnp.asarray(rng.randn(L, B, n_kv, S, hs), jnp.float32)
+    cv = jnp.asarray(rng.randn(L, B, n_kv, S, hs), jnp.float32)
+    ksc = vsc = None
+    if kv == "int8":
+        ckq, ksc4 = quantize_rows(ck)
+        cvq, vsc4 = quantize_rows(cv)
+        ksc, vsc = ksc4[..., 0], vsc4[..., 0]
+        ck_d = dequantize_rows(ckq, ksc4, jnp.float32)
+        cv_d = dequantize_rows(cvq, vsc4, jnp.float32)
+        ck_use, cv_use = ckq, cvq
+    else:
+        ck_use, cv_use = ck, cv
+        ck_d, cv_d = ck, cv
+    q = jnp.asarray(rng.randn(B, n_heads, T, hs), jnp.float32)
+    kn = jnp.asarray(rng.randn(B, n_kv, T, hs), jnp.float32)
+    vn = jnp.asarray(rng.randn(B, n_kv, T, hs), jnp.float32)
+    ke = jnp.asarray(rng.randn(B, n_kv, T, hs), jnp.float32)
+    ve = jnp.asarray(rng.randn(B, n_kv, T, hs), jnp.float32)
+    pos = jnp.asarray([5, 0, 37], jnp.int32)
+
+    want = gqa_attention_spec_batched(
+        q, ck_d[layer], cv_d[layer], kn, vn, pos,
+        k_self=ke if kv == "int8" else None,
+        v_self=ve if kv == "int8" else None)
+    got = flash_spec_batched(
+        q, ck_use, cv_use, pos, layer, 0, 32, True,
+        k_scale=ksc, v_scale=vsc, k_new=kn, v_new=vn,
+        k_self=ke if kv == "int8" else None,
+        v_self=ve if kv == "int8" else None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_spec_batched_pallas_interpret_matches_plain(tmp_path):
+    """SpecBatchedEngine with interpret-mode kernels (fused qmm + the
+    batched spec-verify flash kernel) must equal the plain engine."""
+    from fastllama_tpu.runtime.batching import BatchedEngine
+    from fastllama_tpu.runtime.spec_batching import SpecBatchedEngine
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    cfg = ModelConfig(dim=256, hidden_dim=256, n_layers=2, n_heads=8,
+                      n_kv_heads=8, vocab_size=512, max_seq_len=128,
+                      group_size=16)
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=cfg)
+    prompts = [[1, 5, 9, 13, 80, 200, 31], [2, 4, 6]]
+    ec = EngineConfig(max_seq_len=128, max_batch_size=2,
+                      compute_dtype="float32", kv_dtype="int8")
+    base = BatchedEngine.load(ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+                              ec, decode_chunk=8)
+    want = [r.output_tokens for r in base.generate_all(
+        prompts, max_new_tokens=16, temperature=0.0, stop_tokens=())]
+
+    ecp = EngineConfig(max_seq_len=128, max_batch_size=2,
+                       compute_dtype="float32", kv_dtype="int8",
+                       pallas_interpret=True)
+    spec = SpecBatchedEngine.load_spec(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8, ecp, decode_chunk=8,
+        width=4, rounds_per_chunk=3)
+    assert spec._attn_sbidx_factory is not None
+    got = [r.output_tokens for r in spec.generate_all(
+        prompts, max_new_tokens=16, temperature=0.0, stop_tokens=())]
+    assert got == want

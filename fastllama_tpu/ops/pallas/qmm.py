@@ -34,15 +34,8 @@ _MAX_TO = 512
 _MAX_TT = 256
 
 
-def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, *, gs: int, wide: bool):
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
-
-    w = w_ref[:]                                  # (TK, TO) int
-    s = s_ref[:]                                  # (TK//gs, TO) f32
+def _qmm_chunk(x, w, s, gs: int, wide: bool):
+    """One dequant+dot over a (rows, TO) weight chunk; x (TT, rows)."""
     TKg, TO = s.shape
     # group scales expand along sublanes: row g covers data rows [g*gs,(g+1)*gs)
     scale = jnp.broadcast_to(s[:, None, :], (TKg, gs, TO)).reshape(TKg * gs, TO)
@@ -50,24 +43,47 @@ def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, *, gs: int, wide: bool):
         # int16 values (to 5792) overflow bf16's 8-bit mantissa: f32 dequant
         # + full-precision MXU passes
         wf = w.astype(jnp.float32) * scale
-        acc = jax.lax.dot_general(
-            x_ref[:].astype(jnp.float32), wf,
+        return jax.lax.dot_general(
+            x.astype(jnp.float32), wf,
             dimension_numbers=(((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
+    # int8 values (<=127) are exact in bf16; rounding the SCALE to bf16
+    # costs <=2^-9 relative on the dequantized weight (inside bf16's own
+    # storage error) and skips the f32 intermediate — one VPU op and a
+    # third of the VMEM intermediate traffic less per element (the
+    # 4096x4096 projections measured 74% of HBM bandwidth with the f32
+    # dequant; w1/w2/w3 86-90%)
+    wf = w.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        x.astype(jnp.bfloat16), wf,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, *, gs: int, wide: bool,
+                k_inner: int = 0):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    TK = w_ref.shape[0]
+    if k_inner and k_inner < TK and TK % k_inner == 0:
+        # chunked dequant: bounds the (rows, TO) bf16 intermediates so the
+        # scoped-VMEM stack stays small and the NEXT weight tile's DMA can
+        # double-buffer
+        acc = o_ref[:]
+        for j in range(TK // k_inner):
+            acc += _qmm_chunk(
+                x_ref[:, j * k_inner:(j + 1) * k_inner],
+                w_ref[j * k_inner:(j + 1) * k_inner, :],
+                s_ref[j * k_inner // gs:(j + 1) * k_inner // gs, :],
+                gs, wide)
+        o_ref[:] = acc
     else:
-        # int8 values (<=127) are exact in bf16; rounding the SCALE to bf16
-        # costs <=2^-9 relative on the dequantized weight (inside bf16's own
-        # storage error) and skips the f32 intermediate — one VPU op and a
-        # third of the VMEM intermediate traffic less per element (the
-        # 4096x4096 projections measured 74% of HBM bandwidth with the f32
-        # dequant; w1/w2/w3 86-90%)
-        wf = w.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)
-        acc = jax.lax.dot_general(
-            x_ref[:].astype(jnp.bfloat16), wf,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    o_ref[:] += acc
+        o_ref[:] += _qmm_chunk(x_ref[:], w_ref[:], s_ref[:], gs, wide)
 
 
 def _pick_to(O: int, cap: int) -> int:
@@ -153,10 +169,17 @@ def supported(x: jax.Array, w) -> bool:
 
 
 def qmatmul_pallas(x: jax.Array, w: QArray, compute_dtype=jnp.bfloat16,
-                   interpret: bool = False) -> jax.Array:
+                   interpret: bool = False, tiles=None,
+                   k_inner: int = 0) -> jax.Array:
     """``x @ w`` with in-VMEM dequantization.  ``x``: (T, I) f32/bf16;
     ``w``: QArray (I, O) (split-half packed INT4: (I/2, O)), scales
-    (I/gs, O).  Returns (T, O) in x.dtype."""
+    (I/gs, O).  Returns (T, O) in x.dtype.
+
+    ``tiles``: optional (TT, TO, TK) override (perf experiments —
+    tools/qmm_sweep.py); ``k_inner``: dequantize/accumulate the K tile in
+    sub-chunks of this many rows inside the kernel (0 = whole tile), which
+    shrinks the dequant intermediates and frees VMEM for deeper DMA
+    double-buffering."""
     T, I = x.shape
     O = w.data.shape[-1]
     gs = w.group_size
@@ -192,13 +215,14 @@ def qmatmul_pallas(x: jax.Array, w: QArray, compute_dtype=jnp.bfloat16,
         )(x, x, w.data, w.scales, w.scales)
         return out.astype(x.dtype)
 
-    TT, TO, TK = _pick_tiles(T, O, I, gs, w.data.dtype.itemsize)
+    TT, TO, TK = tiles or _pick_tiles(T, O, I, gs, w.data.dtype.itemsize)
     # INT16 values overflow bf16's mantissa; an explicit fp32 compute_dtype
     # also gets the full-precision path (parity with the jnp fallback)
     wide = (w.qtype == QuantType.INT16
             or jnp.dtype(compute_dtype) == jnp.float32)
 
-    kernel = functools.partial(_qmm_kernel, gs=gs, wide=wide)
+    kernel = functools.partial(_qmm_kernel, gs=gs, wide=wide,
+                               k_inner=k_inner)
     out = pl.pallas_call(
         kernel,
         grid=(T // TT, O // TO, I // TK),

@@ -72,14 +72,16 @@ from fastllama_tpu.ops import sampling
 from fastllama_tpu.parallel.sharding import DATA_AXIS, MODEL_AXIS
 from fastllama_tpu.runtime.batching import BatchStats, Request
 
-# lockstep plan vector layout (int32): one row per host
+# lockstep plan vector layout (int32): one row per host; the fixed fields
+# are followed by a per-bucket admission histogram (one wave runs per
+# bucket with any admissions fleet-wide, so one host's long prompt no
+# longer forces every host's wave into the big bucket)
 _PLAN_ADMIT = 0      # admissions this host wants this step (<= free slots)
-_PLAN_BUCKET = 1     # prefill bucket those admissions need (max)
-_PLAN_LIVE = 2       # 1 if host has live slots after admission
-_PLAN_KMAX = 3       # host's max safe decode-chunk length
-_PLAN_GREEDY = 4     # 1 if all of host's live requests are greedy
-_PLAN_MAXPOS = 5     # host's max live position (bounds the flash window)
-_PLAN_WIDTH = 6
+_PLAN_LIVE = 1       # 1 if host has live slots after admission
+_PLAN_KMAX = 2       # host's max safe decode-chunk length
+_PLAN_GREEDY = 3     # 1 if all of host's live requests are greedy
+_PLAN_MAXPOS = 4     # host's max live position (bounds the flash window)
+_PLAN_NFIX = 5
 
 # max admissions per host per wave.  Each distinct (wave width, bucket)
 # pair compiles its own prefill program; capping the width bounds the
@@ -203,6 +205,10 @@ class MultiHostEngine:
         self.temps = np.zeros(self.W, np.float32)
         self.topps = np.ones(self.W, np.float32)
         self.keys = np.zeros((self.W, 2), np.uint32)
+
+        # admission-wave bucket levels (ascending; S is always last)
+        self._buckets = sorted({min(b, S) for b in ec.prefill_buckets
+                                if b <= S} | {S})
 
         self.queue = deque()
         self.stats = BatchStats()
@@ -378,14 +384,13 @@ class MultiHostEngine:
             self.stats.completed += 1
 
     def _local_plan(self) -> np.ndarray:
-        plan = np.zeros(_PLAN_WIDTH, np.int32)
+        plan = np.zeros(_PLAN_NFIX + len(self._buckets), np.int32)
         free = [i for i, r in enumerate(self.slot_req) if r is None]
         take = min(len(free), len(self.queue), _ADMIT_CAP)
         plan[_PLAN_ADMIT] = take
-        if take:
-            plan[_PLAN_BUCKET] = max(
-                self._bucket(len(self.queue[i].prompt_tokens))
-                for i in range(take))
+        for i in range(take):
+            b = self._bucket(len(self.queue[i].prompt_tokens))
+            plan[_PLAN_NFIX + self._buckets.index(b)] += 1
         live = [i for i, r in enumerate(self.slot_req) if r is not None]
         will_live = bool(live) or take > 0
         plan[_PLAN_LIVE] = int(will_live)
@@ -405,13 +410,24 @@ class MultiHostEngine:
 
     def _admit_wave(self, a: int, bucket: int) -> None:
         """All hosts run one (a, bucket) admission wave; this host fills its
-        first ``n`` rows with real requests, the rest with sink-slot dummies.
+        first ``n`` rows with its queued requests OF THIS BUCKET, the rest
+        with sink-slot dummies (a host with nothing in the bucket still
+        participates — SPMD lockstep).
 
         The spmd path addresses slots SHARD-LOCALLY (this host's wave rows
         land on its own chips); the GSPMD path uses global slot ids."""
         free = [i for i, r in enumerate(self.slot_req) if r is None]
-        n = min(len(free), len(self.queue), a)
-        items = [(self.queue.popleft(), free[i]) for i in range(n)]
+        items = []
+        kept = deque()
+        while self.queue and len(items) < min(len(free), a):
+            req = self.queue.popleft()
+            if self._bucket(len(req.prompt_tokens)) == bucket:
+                items.append((req, free[len(items)]))
+            else:
+                kept.append(req)
+        kept.extend(self.queue)
+        self.queue = kept
+        n = len(items)
 
         base = 0 if self._spmd else self.slot0
         toks_np = np.zeros((a, bucket), np.int32)
@@ -457,13 +473,17 @@ class MultiHostEngine:
     def step(self) -> bool:
         """One lockstep scheduling round across all hosts.  Returns True
         while ANY host still has work."""
+        width = _PLAN_NFIX + len(self._buckets)
         plans = np.asarray(multihost_utils.process_allgather(
             jnp.asarray(self._local_plan())))
-        plans = plans.reshape(self.n_hosts, _PLAN_WIDTH)
+        plans = plans.reshape(self.n_hosts, width)
 
-        a = int(plans[:, _PLAN_ADMIT].max())
-        if a > 0:
-            self._admit_wave(a, int(plans[:, _PLAN_BUCKET].max()))
+        # one admission wave per bucket with fleet-wide demand, largest
+        # first (its requests have the least slack to spare)
+        for j in range(len(self._buckets) - 1, -1, -1):
+            a = int(plans[:, _PLAN_NFIX + j].max())
+            if a > 0:
+                self._admit_wave(a, self._buckets[j])
 
         if not plans[:, _PLAN_LIVE].any():
             return False

@@ -1,0 +1,100 @@
+"""Steady-state HBM-efficiency sweep of the fused dequant-matmul — the
+single-stream roofline hunt (VERDICT r2 #4: the decode-dominant wo-shaped
+4096x4096 stream measured 74% of bandwidth; fused QKV ~90%).
+
+Chains the matmul through a lax.scan with a data dependency (x_{i+1} =
+normalize(qmm(x_i, w)) padded/sliced back to (T, I)) so the tunnel cannot
+dedupe dispatches and the weight stream repeats every step — the only
+microbenchmark shape that gives truthful numbers here (NEXT.md gotchas).
+
+Run on the TPU:  python tools/qmm_sweep.py
+Env: SWEEP_SHAPES="4096x4096,4096x12288,11264x4096", SWEEP_T=1,
+SWEEP_ITERS=128, SWEEP_PEAK_GBS=819 (v5e chip).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastllama_tpu.ops.pallas.qmm import qmatmul_pallas
+from fastllama_tpu.quant.groupquant import QArray
+
+PEAK = float(os.environ.get("SWEEP_PEAK_GBS", "819"))
+
+
+def bench_variant(I, O, T, iters, tiles, k_inner, gs=64):
+    rng = np.random.RandomState(0)
+    w = QArray(jnp.asarray(rng.randint(-127, 128, (I, O)), jnp.int8),
+               jnp.full((I // gs, O), 0.01, jnp.float32), None, gs,
+               group_axis=-2)
+    # work around QArray static qtype: build via quantize-like constructor
+    from fastllama_tpu.config import QuantType
+    w = QArray(w.data, w.scales, QuantType.INT8, gs, -2, False)
+    x0 = jnp.asarray(rng.randn(T, I), jnp.bfloat16)
+
+    def step(x, _):
+        y = qmatmul_pallas(x, w, tiles=tiles, k_inner=k_inner)  # (T, O)
+        y = y * jax.lax.rsqrt(jnp.mean(jnp.square(y)) + 1e-6)
+        if O >= I:
+            x = y[:, :I].astype(jnp.bfloat16)
+        else:
+            reps = -(-I // O)
+            x = jnp.tile(y, (1, reps))[:, :I].astype(jnp.bfloat16)
+        return x, ()
+
+    @jax.jit
+    def run(x):
+        x, _ = jax.lax.scan(step, x, length=iters)
+        return x
+
+    run(x0).block_until_ready()                       # compile
+    t0 = time.perf_counter()
+    r = run(x0)
+    r.block_until_ready()
+    dt = time.perf_counter() - t0
+    gb = iters * (I * O + I * O // gs * 4) / 1e9
+    return gb / dt
+
+
+def main():
+    T = int(os.environ.get("SWEEP_T", "1"))
+    iters = int(os.environ.get("SWEEP_ITERS", "128"))
+    shapes = [tuple(int(v) for v in s.split("x")) for s in os.environ.get(
+        "SWEEP_SHAPES", "4096x4096").split(",")]
+    results = []
+    for I, O in shapes:
+        variants = [("auto", None, 0)]
+        for tk in (4096, 2048, 1024, 512):
+            if I % tk == 0 and (tk // 64) % 8 == 0:
+                for to in (1024, 512, 256):
+                    if O % to == 0:
+                        variants.append((f"tk{tk}_to{to}", (min(256, T), to, tk), 0))
+        variants += [("auto_ki512", None, 512), ("auto_ki1024", None, 1024),
+                     ("tk4096_to1024_ki512",
+                      (min(256, T), 1024, 4096) if O % 1024 == 0 else None,
+                      512)]
+        for label, tiles, ki in variants:
+            if tiles is None and label.startswith("tk4096_to1024"):
+                continue
+            try:
+                gbs = bench_variant(I, O, T, iters, tiles, ki)
+            except Exception as e:          # noqa: BLE001 - sweep robustness
+                print(f"# {I}x{O} {label}: FAIL {type(e).__name__}",
+                      file=sys.stderr)
+                continue
+            eff = gbs / PEAK
+            print(f"# {I}x{O} T={T} {label}: {gbs:7.1f} GB/s  "
+                  f"({eff*100:4.1f}% of {PEAK:.0f})", file=sys.stderr)
+            results.append({"shape": f"{I}x{O}", "variant": label,
+                            "gbs": round(gbs, 1), "eff": round(eff, 3)})
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -89,7 +89,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "distribution-preserving speculative sampling)")
     p.add_argument("--spec", action="store_true",
                    help="draft-free speculative decoding (n-gram "
-                        "prompt-lookup)")
+                        "prompt-lookup); with --mode serve, runs batched "
+                        "speculation inside the decode chunks")
     p.add_argument("--spec-width", type=int, default=8,
                    help="speculation verify width D")
     p.add_argument("--debug", action="store_true")
@@ -111,6 +112,14 @@ def serve_mode(args) -> int:
                                    FileType.parse(args.file_type),
                                    QuantType.parse(args.quant), ec,
                                    decode_chunk=args.decode_chunk)
+    elif args.spec:
+        # batched speculation: per-slot n-gram drafts verified D rows at a
+        # time inside the decode chunks (runtime/spec_batching.py)
+        from fastllama_tpu.runtime.spec_batching import SpecBatchedEngine
+        eng = SpecBatchedEngine.load_spec(
+            args.checkpoint, args.tokenizer, FileType.parse(args.file_type),
+            QuantType.parse(args.quant), ec, decode_chunk=args.decode_chunk,
+            width=args.spec_width)
     else:
         from fastllama_tpu.runtime.batching import BatchedEngine
         eng = BatchedEngine.load(args.checkpoint, args.tokenizer,

@@ -339,3 +339,124 @@ def make_kv_writer(interpret: bool = False):
 
 def make_prefill_writer(interpret: bool = False):
     return functools.partial(prefill_write, interpret=interpret)
+
+
+def _spec_kernel(pos_ref, k_ref, v_ref, cki_ref, cvi_ref,
+                 cko_ref, cvo_ref, *, sub: int, D: int, nsub: int):
+    # grid t in {0, 1} visits the slab at pos//sub and its successor (the D
+    # rows may straddle).  The successor index WRAPS (mod nsub): a wrap
+    # implies the rows fit entirely in the last slab (caller guarantees
+    # pos+D <= S), so the wrapped visit blends nothing and copies its slab
+    # back unchanged.  With nsub == 1 both visits hit the same slab and the
+    # blend re-applies idempotently (t treated as 0).
+    b = pl.program_id(0)
+    t = pl.program_id(2) if nsub > 1 else 0
+    p = pos_ref[b] % sub
+    k_slab = cki_ref[...]
+    v_slab = cvi_ref[...]
+    for d in range(D):
+        r = p + d - t * sub                 # row inside THIS slab (may miss)
+        k_slab = _blend_row(k_slab, k_ref[:, :, :, d:d + 1, :], r, 3)
+        v_slab = _blend_row(v_slab, v_ref[:, :, :, d:d + 1, :], r, 3)
+    cko_ref[...] = k_slab
+    cvo_ref[...] = v_slab
+
+
+def _spec_kernel_q(pos_ref, k_ref, v_ref, ks_ref, vs_ref,
+                   cki_ref, cvi_ref, ksi_ref, vsi_ref,
+                   cko_ref, cvo_ref, kso_ref, vso_ref, *,
+                   sub: int, lane: int, D: int, nsub: int, nlane: int):
+    b = pl.program_id(0)
+    t = pl.program_id(2)
+    ts = t if nsub > 1 else 0
+    tl = t if nlane > 1 else 0
+    p = pos_ref[b] % sub
+    c = pos_ref[b] % lane
+    k_slab = cki_ref[...]
+    v_slab = cvi_ref[...]
+    ks_slab = ksi_ref[...]
+    vs_slab = vsi_ref[...]
+    for d in range(D):
+        r = p + d - ts * sub
+        k_slab = _blend_row(k_slab, k_ref[:, :, :, d:d + 1, :], r, 3)
+        v_slab = _blend_row(v_slab, v_ref[:, :, :, d:d + 1, :], r, 3)
+        cl = c + d - tl * lane
+        ks_slab = _blend_row(ks_slab, ks_ref[:, :, :, d:d + 1], cl, 3)
+        vs_slab = _blend_row(vs_slab, vs_ref[:, :, :, d:d + 1], cl, 3)
+    cko_ref[...] = k_slab
+    cvo_ref[...] = v_slab
+    kso_ref[...] = ks_slab
+    vso_ref[...] = vs_slab
+
+
+def spec_write(cache, kq: jax.Array, vq: jax.Array, ks, vs,
+               pos: jax.Array, interpret: bool = False):
+    """Write every slot's D fresh rows (speculative verify,
+    models/batched.spec_decode_step) in ONE launch: kq/vq (L, B, n_kv, D,
+    hs) land at rows [pos[b], pos[b]+D); ks/vs (L, B, n_kv, D) fp32 scales
+    or None.  The D rows may straddle a slab boundary, so the grid's third
+    dim visits the slab at pos//sub and its successor (clamped; a slab with
+    no matching rows is copied back unchanged)."""
+    from fastllama_tpu.models.batched import BatchedKVCache
+    L, B, n_kv, D, hs = kq.shape
+    S = cache.k.shape[3]
+    sub = _sublane(cache.k.dtype)
+    LB = _layer_block(L, n_kv * sub * hs * cache.k.dtype.itemsize)
+    if LB == 0 or S % sub or D > sub:
+        raise ValueError(f"spec_write unsupported: L={L} S={S} D={D}")
+    quant = ks is not None
+    nsub = S // sub
+
+    fresh_spec = pl.BlockSpec((LB, 1, n_kv, D, hs),
+                              lambda b, l, t, s: (l, b, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    cache_spec = pl.BlockSpec(
+        (LB, 1, n_kv, sub, hs),
+        lambda b, l, t, s: (l, b, 0, (s[b] // sub + t) % nsub, 0),
+        memory_space=pltpu.VMEM)
+    if not quant:
+        in_specs = [fresh_spec, fresh_spec, cache_spec, cache_spec]
+        operands = [kq, vq, cache.k, cache.v]
+        out_specs = [cache_spec, cache_spec]
+        out_shapes = [jax.ShapeDtypeStruct(cache.k.shape, cache.k.dtype),
+                      jax.ShapeDtypeStruct(cache.v.shape, cache.v.dtype)]
+        aliases = {3: 0, 4: 1}
+        kernel = functools.partial(_spec_kernel, sub=sub, D=D, nsub=nsub)
+    else:
+        lane = _lane_block(S)
+        nlane = S // lane
+        fs_spec = pl.BlockSpec((LB, 1, n_kv, D),
+                               lambda b, l, t, s: (l, b, 0, 0),
+                               memory_space=pltpu.VMEM)
+        cs_spec = pl.BlockSpec(
+            (LB, 1, n_kv, lane),
+            lambda b, l, t, s: (l, b, 0, (s[b] // lane + t) % nlane),
+            memory_space=pltpu.VMEM)
+        in_specs = [fresh_spec, fresh_spec, fs_spec, fs_spec,
+                    cache_spec, cache_spec, cs_spec, cs_spec]
+        operands = [kq, vq, ks, vs,
+                    cache.k, cache.v, cache.k_scale, cache.v_scale]
+        out_specs = [cache_spec, cache_spec, cs_spec, cs_spec]
+        out_shapes = [
+            jax.ShapeDtypeStruct(cache.k.shape, cache.k.dtype),
+            jax.ShapeDtypeStruct(cache.v.shape, cache.v.dtype),
+            jax.ShapeDtypeStruct(cache.k_scale.shape, cache.k_scale.dtype),
+            jax.ShapeDtypeStruct(cache.v_scale.shape, cache.v_scale.dtype)]
+        aliases = {5: 0, 6: 1, 7: 2, 8: 3}
+        kernel = functools.partial(_spec_kernel_q, sub=sub, lane=lane, D=D,
+                                   nsub=nsub, nlane=nlane)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, L // LB, 2),
+        in_specs=in_specs, out_specs=out_specs)
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shapes,
+        input_output_aliases=aliases, interpret=interpret,
+    )(pos.astype(jnp.int32), *operands)
+    if quant:
+        return BatchedKVCache(outs[0], outs[1], outs[2], outs[3])
+    return BatchedKVCache(outs[0], outs[1])
+
+
+def make_spec_writer(interpret: bool = False):
+    return functools.partial(spec_write, interpret=interpret)

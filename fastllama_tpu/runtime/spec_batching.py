@@ -94,12 +94,19 @@ class SpecBatchedEngine(BatchedEngine):
         self._hist = jnp.zeros((self.B, self.S + width + 1), jnp.int32)
         self._spec_fns = {}
         self._attn_sbidx_factory = None
+        self._spec_writer = None
         if self._attn_bidx is not None:            # pallas path active
             from functools import partial
             from fastllama_tpu.ops.pallas.flash_decode import \
                 make_attn_spec_batched
             self._attn_sbidx_factory = partial(
                 make_attn_spec_batched, interpret=self.ec.pallas_interpret)
+        if self._kv_writer is not None:
+            from fastllama_tpu.ops.pallas.kv_write import (_sublane,
+                                                           make_spec_writer)
+            if width <= _sublane(self.kv_dtype):
+                self._spec_writer = make_spec_writer(
+                    interpret=self.ec.pallas_interpret)
 
     @staticmethod
     def load_spec(ckpt_path: str, tokenizer_path: str = "",
@@ -135,7 +142,8 @@ class SpecBatchedEngine(BatchedEngine):
                         [pending[:, None], ys[:, :D - 1]], axis=1)
                     lg, cache = spec_decode_step(
                         cfg, params, batch, pos, cache,
-                        mm=mm, mm_idx=mi, attn_sbidx=ab, compute_dtype=cdt)
+                        mm=mm, mm_idx=mi, attn_sbidx=ab,
+                        spec_writer=self._spec_writer, compute_dtype=cdt)
                     g = jnp.argmax(lg, axis=-1).astype(jnp.int32)   # (B, D)
                     ok = (ys[:, :D - 1] == g[:, :D - 1]).astype(jnp.int32)
                     a = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)    # (B,)

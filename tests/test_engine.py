@@ -333,3 +333,19 @@ def test_chat_session_chunked_feed(tmp_path):
     assert pos_a == pos_b == 101
     import numpy as np
     np.testing.assert_allclose(lg_a, lg_b, rtol=2e-4, atol=2e-4)
+
+
+def test_cli_serve_spec_batched(tmp_path, capsys):
+    """--mode serve --spec routes through SpecBatchedEngine end to end."""
+    from fastllama_tpu import cli
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path))
+    pf = tmp_path / "prompts.txt"
+    pf.write_text("the cat sat\nthe cat ran\n")
+    rc = cli.main(["-c", ckpt, "-z", tokp, "-f", "llama2c", "-t", "0",
+                   "-n", "8", "--mode", "serve", "--batch", "2",
+                   "--max-seq-len", "64", "--spec", "--spec-width", "3",
+                   "--prompts-file", str(pf)])
+    assert rc == 0
+    assert "served 2 requests" in capsys.readouterr().err

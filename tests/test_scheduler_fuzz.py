@@ -111,3 +111,48 @@ def test_batched_scheduler_sampled_deterministic(ckpt):
         return [h.output_tokens for h in hs]
 
     assert run() == run()
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_spec_batched_scheduler_matches_oracle(ckpt, oracle, trial):
+    """Same fuzz through SpecBatchedEngine: speculation must never change
+    a greedy request's output under slot churn / staggered submission /
+    stop tokens / mixed sampled slots (which force plain-chunk fallbacks
+    interleaved with spec chunks)."""
+    from fastllama_tpu.runtime.spec_batching import SpecBatchedEngine
+
+    c, t = ckpt
+    rng = np.random.default_rng(100 + trial)
+    reqs = _random_requests(rng, int(rng.integers(5, 10)))
+    eng = SpecBatchedEngine.load_spec(
+        c, t, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=128,
+                     max_batch_size=int(rng.integers(2, 5)),
+                     compute_dtype="float32",
+                     kv_dtype="float32"),
+        decode_chunk=int(rng.integers(1, 9)),
+        width=int(rng.integers(2, 6)),
+        rounds_per_chunk=int(rng.integers(1, 5)))
+
+    handles = []
+    pending = list(reqs)
+    while pending or handles and not all(h.done for h in handles):
+        k = int(rng.integers(0, 4))
+        for spec in pending[:k]:
+            handles.append(eng.submit(**spec))
+        pending = pending[k:]
+        if not eng.step() and pending:
+            continue
+    eng.run()
+
+    for spec, h in zip(reqs, handles):
+        assert h.done
+        assert 1 <= len(h.output_tokens) <= spec["max_new_tokens"]
+        if spec["temperature"] == 0.0:
+            want, _ = oracle.generate(
+                spec["prompt"], max_new_tokens=spec["max_new_tokens"],
+                temperature=0.0, stop_tokens=spec["stop_tokens"],
+                decode_chunk=4)
+            assert h.output_tokens == want, (
+                f"trial {trial}: spec-batched greedy request diverged "
+                f"(prompt len {len(spec['prompt'])})")

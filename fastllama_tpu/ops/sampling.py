@@ -93,6 +93,30 @@ def sample_dynamic(logits: jax.Array, key: jax.Array, temperature: jax.Array,
     return jnp.where(temperature <= 0.0, g, s)
 
 
+def nucleus_dist_dynamic(logits: jax.Array, temperature: jax.Array,
+                         top_p: jax.Array) -> jax.Array:
+    """The NORMALIZED distribution :func:`sample_dynamic` samples from,
+    with TRACED per-slot temperature/top_p — the batched speculative
+    -sampling accept rule needs the explicit p vectors (temperature <= 0
+    degenerates to a delta at the argmax, so greedy slots fall out of the
+    same accept/resample math exactly)."""
+    lf = logits.astype(jnp.float32)
+    gdelta = jax.nn.one_hot(jnp.argmax(lf, axis=-1), lf.shape[-1],
+                            dtype=jnp.float32)
+    scaled = lf / jnp.maximum(temperature, 1e-6)
+    probs = jax.nn.softmax(scaled, axis=-1)
+    tp = jnp.clip(top_p, 1e-9, 1.0)
+    sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    keep_mass = cum - sorted_probs < tp
+    cutoff = jnp.min(jnp.where(keep_mass, sorted_probs, 1.0), axis=-1,
+                     keepdims=True)
+    keep = jnp.logical_or(top_p >= 1.0, probs >= cutoff)
+    p = jnp.where(keep, probs, 0.0)
+    p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    return jnp.where(temperature <= 0.0, gdelta, p)
+
+
 def sample_batched(logits: jax.Array, keys: jax.Array, temperatures: jax.Array,
                    top_ps: jax.Array) -> jax.Array:
     """Per-slot sampling over a batch of logits rows.

@@ -37,6 +37,7 @@ from fastllama_tpu.config import EngineConfig, ModelConfig
 from fastllama_tpu.loaders.tokenizer import Tokenizer
 from fastllama_tpu.models.batched import spec_decode_step
 from fastllama_tpu.models.llama import LlamaParams
+from fastllama_tpu.ops import sampling
 from fastllama_tpu.runtime.batching import DEFAULT_CHUNK, BatchedEngine
 
 
@@ -68,8 +69,10 @@ class SpecBatchedEngine(BatchedEngine):
 
     ``width``: verify rows per slot per round (1 pending + width-1 drafts);
     ``ngram``: lookup n-gram length; ``rounds_per_chunk``: rounds per
-    device call.  Greedy-only (temperature 0); sampled requests fall back
-    to plain chunks."""
+    device call.  Greedy waves verify by argmax equality; mixed/sampled
+    waves run per-slot speculative sampling (accept/residual-resample over
+    the same nucleus distributions plain serving samples from — greedy
+    slots degenerate to deltas and stay bit-exact)."""
 
     def __init__(self, config: ModelConfig, params: LlamaParams,
                  tokenizer: Tokenizer,
@@ -126,41 +129,104 @@ class SpecBatchedEngine(BatchedEngine):
 
     # -- compiled spec chunk -------------------------------------------------
 
-    def _get_spec_chunk(self, R: int, s_bound: int):
-        key_ = (R, s_bound)
+    def _get_spec_chunk(self, R: int, s_bound: int, greedy: bool):
+        key_ = (R, s_bound, greedy)
         if key_ not in self._spec_fns:
             cfg, mm, mi = self.config, self._mm, self._mm_idx
             cdt, S, D, n = self._cdt, self.S, self.width, self.ngram
             ab = (self._attn_sbidx_factory(s_bound)
                   if self._attn_sbidx_factory is not None else None)
 
-            def chunk(params, cache, pending, pos, hist):
+            def verify(params, cache, pending, pos, hist):
+                ys = ngram_draft_batched(hist, pos + 1, n, D)       # (B, D)
+                batch = jnp.concatenate(
+                    [pending[:, None], ys[:, :D - 1]], axis=1)
+                lg, cache = spec_decode_step(
+                    cfg, params, batch, pos, cache,
+                    mm=mm, mm_idx=mi, attn_sbidx=ab,
+                    spec_writer=self._spec_writer, compute_dtype=cdt)
+                return ys, lg, cache
+
+            def commit(carry_head, emit, a, cache, hist, pos):
+                """Shared round tail: pending/history/pos bookkeeping.
+                Rows past the accepted prefix are garbage but sit beyond
+                the new history length, which masks them."""
+                pending = jnp.take_along_axis(emit, a[:, None], 1)[:, 0]
+                hist = jax.vmap(
+                    lambda h, u, p: jax.lax.dynamic_update_slice(
+                        h, u, (p,)))(hist, emit, pos + 1)
+                pos = pos + a + 1                 # caller bounds pos+R*D
+                return pending, pos, cache, hist
+
+            if greedy:
                 def round_fn(carry, _):
-                    pending, pos, cache, hist = carry
-                    ys = ngram_draft_batched(hist, pos + 1, n, D)   # (B, D)
-                    batch = jnp.concatenate(
-                        [pending[:, None], ys[:, :D - 1]], axis=1)
-                    lg, cache = spec_decode_step(
-                        cfg, params, batch, pos, cache,
-                        mm=mm, mm_idx=mi, attn_sbidx=ab,
-                        spec_writer=self._spec_writer, compute_dtype=cdt)
+                    pending, pos, cache, hist, keys = carry
+                    ys, lg, cache = verify(params_c[0], cache, pending, pos,
+                                           hist)
                     g = jnp.argmax(lg, axis=-1).astype(jnp.int32)   # (B, D)
                     ok = (ys[:, :D - 1] == g[:, :D - 1]).astype(jnp.int32)
                     a = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)    # (B,)
-                    pending = jnp.take_along_axis(g, a[:, None], 1)[:, 0]
-                    # write ALL D candidate rows after the current history
-                    # head; rows past the accepted prefix are garbage but
-                    # sit beyond the new hist length, which masks them
-                    hist = jax.vmap(
-                        lambda h, u, p: jax.lax.dynamic_update_slice(
-                            h, u, (p,)))(hist, g, pos + 1)
-                    pos = pos + a + 1                 # caller bounds pos+R*D
-                    return (pending, pos, cache, hist), (g, a)
+                    pending, pos, cache, hist = commit(
+                        None, g, a, cache, hist, pos)
+                    return (pending, pos, cache, hist, keys), (g, a)
+            else:
+                # standard speculative sampling, per slot: the n-gram draft
+                # is the one-hot q, so accept draft y_i iff u_i < p_i(y_i);
+                # first rejection resamples from norm(max(p - q, 0)); full
+                # acceptance draws a bonus from the last row.  Greedy slots
+                # (temperature <= 0) degenerate to delta distributions and
+                # reproduce plain greedy exactly (ops/sampling
+                # .nucleus_dist_dynamic).
+                def round_fn(carry, _):
+                    pending, pos, cache, hist, keys = carry
+                    ys, lg, cache = verify(params_c[0], cache, pending, pos,
+                                           hist)
+                    splits = jax.vmap(lambda k: jax.random.split(k, 4))(keys)
+                    keys, ka, kr, kb = (splits[:, 0], splits[:, 1],
+                                        splits[:, 2], splits[:, 3])
+                    p_rows = sampling.nucleus_dist_dynamic(
+                        lg, temps_c[0][:, None, None],
+                        topps_c[0][:, None, None])              # (B, D, V)
+                    py = jnp.take_along_axis(
+                        p_rows[:, :D - 1], ys[:, :D - 1, None],
+                        axis=2)[..., 0]                         # (B, D-1)
+                    u = jax.vmap(lambda k: jax.random.uniform(k, (D - 1,))
+                                 )(ka)
+                    ok = (u < py).astype(jnp.int32)
+                    a = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)    # (B,)
+                    pa = jnp.take_along_axis(
+                        p_rows, a[:, None, None], axis=1)[:, 0]     # (B, V)
+                    ya = jnp.take_along_axis(
+                        ys, jnp.minimum(a, D - 2)[:, None], 1)[:, 0]
+                    qa = jax.nn.one_hot(ya, p_rows.shape[-1],
+                                        dtype=jnp.float32)
+                    resid = jnp.maximum(pa - qa, 0.0)
+                    resid = jnp.where(
+                        (resid.sum(-1, keepdims=True) > 1e-9), resid, pa)
+                    t_rej = jax.vmap(lambda k, p: jax.random.categorical(
+                        k, jnp.log(p + 1e-30)))(kr, resid).astype(jnp.int32)
+                    t_bonus = jax.vmap(lambda k, p: jax.random.categorical(
+                        k, jnp.log(p + 1e-30)))(
+                        kb, p_rows[:, D - 1]).astype(jnp.int32)
+                    t_last = jnp.where(a < D - 1, t_rej, t_bonus)
+                    emit = jnp.where(
+                        jnp.arange(D)[None] == a[:, None],
+                        t_last[:, None], ys)                    # (B, D)
+                    pending, pos, cache, hist = commit(
+                        None, emit, a, cache, hist, pos)
+                    return (pending, pos, cache, hist, keys), (emit, a)
 
-                (pending, pos, cache, hist), (gs, accs) = jax.lax.scan(
-                    round_fn, (pending, pos, cache, hist), length=R)
-                return gs, accs, cache, hist, pending, pos
+            def chunk(params, cache, pending, pos, hist, keys, temps, topps):
+                params_c[0] = params
+                temps_c[0] = temps
+                topps_c[0] = topps
+                (pending, pos, cache, hist, keys), (gs, accs) = jax.lax.scan(
+                    round_fn, (pending, pos, cache, hist, keys), length=R)
+                return gs, accs, cache, hist, pending, pos, keys
 
+            params_c = [None]
+            temps_c = [None]
+            topps_c = [None]
             self._spec_fns[key_] = jax.jit(
                 chunk, donate_argnums=(1,) if self.ec.donate_cache else ())
         return self._spec_fns[key_]
@@ -197,8 +263,8 @@ class SpecBatchedEngine(BatchedEngine):
         min_budget = min(self.slot_req[b].max_new_tokens
                          - len(self.slot_req[b].output_tokens) for b in live)
         R = min(self.R, room // D, max(1, min_budget // D))
-        if not greedy or R < 1:
-            # near the limit / sampled: plain chunks keep the contract
+        if R < 1:
+            # near the context limit: plain chunks keep the contract
             K, greedy_only = self._plan_chunk(live)
             t0 = time.perf_counter()
             toks = self._dispatch_chunk(K, greedy_only,
@@ -218,10 +284,11 @@ class SpecBatchedEngine(BatchedEngine):
             s_bound = round_bound(int(self.pos.max()) + R * D, self.S)
 
         t0 = time.perf_counter()
-        fn = self._get_spec_chunk(R, s_bound)
-        gs, accs, self.cache, self._hist, pend_dev, pos_dev = fn(
+        fn = self._get_spec_chunk(R, s_bound, greedy)
+        gs, accs, self.cache, self._hist, pend_dev, pos_dev, self._keys = fn(
             self.params, self.cache, jnp.asarray(self.pending),
-            jnp.asarray(self.pos), self._hist)
+            jnp.asarray(self.pos), self._hist, self._keys,
+            jnp.asarray(self.temps), jnp.asarray(self.topps))
         gs_np = np.asarray(gs)                        # (R, B, D)
         accs_np = np.asarray(accs)                    # (R, B)
         self.stats.decode_s += time.perf_counter() - t0

@@ -205,3 +205,65 @@ def test_spec_batched_pallas_interpret_matches_plain(tmp_path):
     got = [r.output_tokens for r in spec.generate_all(
         prompts, max_new_tokens=16, temperature=0.0, stop_tokens=())]
     assert got == want
+
+
+def test_spec_batched_mixed_sampling(tmp_path):
+    """Mixed greedy + sampled slots run the sampled spec rounds: greedy
+    requests stay bit-exact vs plain serving, sampled requests are
+    deterministic for fixed seeds and complete."""
+    from fastllama_tpu.runtime.batching import BatchedEngine
+    from fastllama_tpu.runtime.spec_batching import SpecBatchedEngine
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=CFG)
+    ec = EngineConfig(max_seq_len=128, max_batch_size=3,
+                      compute_dtype="float32")
+    base = BatchedEngine.load(ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+                              ec, decode_chunk=8)
+    g1 = base.submit([1, 5, 9, 13], max_new_tokens=14, temperature=0.0,
+                     stop_tokens=())
+    base.submit([2, 4, 6], max_new_tokens=10, temperature=0.8, topp=0.9,
+                seed=7, stop_tokens=())
+    base.run()
+
+    def run_spec():
+        spec = SpecBatchedEngine.load_spec(
+            ckpt, tokp, FileType.LLAMA2C, QuantType.INT8, ec,
+            decode_chunk=8, width=4, rounds_per_chunk=2)
+        a = spec.submit([1, 5, 9, 13], max_new_tokens=14, temperature=0.0,
+                        stop_tokens=())
+        b = spec.submit([2, 4, 6], max_new_tokens=10, temperature=0.8,
+                        topp=0.9, seed=7, stop_tokens=())
+        spec.run()
+        return a.output_tokens, b.output_tokens, spec.spec_drafted
+
+    a1, b1, drafted = run_spec()
+    a2, b2, _ = run_spec()
+    assert a1 == g1.output_tokens          # greedy slot: bit-exact
+    assert (a1, b1) == (a2, b2)            # sampled slot: deterministic
+    assert len(b1) == 10
+    assert drafted > 0                     # sampled rounds actually ran
+
+
+def test_spec_batched_onehot_accept_preserves_target():
+    """Monte-Carlo check of the batched rounds' accept/residual-resample
+    rule for ONE-HOT drafts (the n-gram drafter's q): accept draft y iff
+    u < p(y); on rejection resample from norm(max(p - e_y, 0)).  The
+    emitted marginal must equal the target p for ANY draft-proposal
+    distribution — the identity the sampled spec chunk implements
+    per slot/row (runtime/spec_batching.py)."""
+    rng = np.random.default_rng(0)
+    V = 6
+    p = rng.random(V); p /= p.sum()
+    d = rng.random(V); d /= d.sum()          # arbitrary drafter behaviour
+    N = 200_000
+    ys = rng.choice(V, size=N, p=d)
+    u = rng.random(N)
+    accept = u < p[ys]
+    resid = np.maximum(p[None, :] - np.eye(V)[ys], 0.0)
+    resid /= resid.sum(axis=1, keepdims=True)
+    resample = np.array([rng.choice(V, p=resid[i]) for i in range(N)
+                         if not accept[i]])
+    out = np.concatenate([ys[accept], resample])
+    emp = np.bincount(out, minlength=V) / N
+    np.testing.assert_allclose(emp, p, atol=5e-3)

@@ -99,6 +99,33 @@ def main() -> int:
         print(f"{qt.name}: batched int8-KV serve "
               f"{'ok' if ok else 'FAIL'}")
 
+    # batched speculation: the spec-verify flash kernel + D-row cache
+    # writer compiled for real hardware; greedy outputs must equal the
+    # plain engine's (bit-exact contract, not just liveness)
+    from fastllama_tpu.runtime.spec_batching import SpecBatchedEngine
+    cfg = ModelConfig(dim=512, hidden_dim=1024, n_layers=4, n_heads=8,
+                      n_kv_heads=8, vocab_size=1024, max_seq_len=256,
+                      quant_type=QuantType.INT8)
+    params = random_params_int(cfg, seed=7)
+    prompts = [list(range(1, 20)) * 2, [3, 4, 5] * 6]
+    be = BatchedEngine(cfg, params, tok,
+                       EngineConfig(max_seq_len=256, max_batch_size=2,
+                                    kv_dtype="int8"), decode_chunk=8)
+    want = [r.output_tokens for r in be.generate_all(
+        prompts, max_new_tokens=16, temperature=0.0, stop_tokens=())]
+    del be
+    se = SpecBatchedEngine(cfg, params, tok,
+                           EngineConfig(max_seq_len=256, max_batch_size=2,
+                                        kv_dtype="int8"), decode_chunk=8,
+                           width=4, rounds_per_chunk=3)
+    assert se._attn_sbidx_factory is not None \
+        or jax.default_backend() == "cpu"
+    got = [r.output_tokens for r in se.generate_all(
+        prompts, max_new_tokens=16, temperature=0.0, stop_tokens=())]
+    ok = got == want
+    failures += not ok
+    print(f"spec-batched serve == plain {'ok' if ok else 'FAIL'}")
+
     print(f"done in {time.time()-t0:.0f}s, failures={failures}")
     return 1 if failures else 0
 

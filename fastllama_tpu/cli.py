@@ -91,6 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="draft-free speculative decoding (n-gram "
                         "prompt-lookup); with --mode serve, runs batched "
                         "speculation inside the decode chunks")
+    p.add_argument("--qos-chunk", type=int, default=0,
+                   help="serve mode: cap decode chunks at this many steps "
+                        "while requests queue behind a full batch (bounds "
+                        "queued TTFT; 0 = off)")
     p.add_argument("--spec-width", type=int, default=8,
                    help="speculation verify width D")
     p.add_argument("--debug", action="store_true")
@@ -105,7 +109,8 @@ def serve_mode(args) -> int:
                       use_pallas=not args.no_pallas, mesh=args.mesh,
                       max_batch_size=args.batch,
                       prefix_cache=args.prefix_cache,
-                      spmd_kernels=args.spmd_kernels)
+                      spmd_kernels=args.spmd_kernels,
+                      qos_chunk=args.qos_chunk)
     if args.multihost:
         from fastllama_tpu.runtime.multihost import MultiHostEngine
         eng = MultiHostEngine.load(args.checkpoint, args.tokenizer,

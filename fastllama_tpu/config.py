@@ -144,6 +144,13 @@ class EngineConfig:
     fuse_weights: bool = True
     parity_mode: bool = False           # bit-faithful reference math (act-quant int dot)
     donate_cache: bool = True
+    # QoS (batched/multi-host engines): while requests are QUEUED behind a
+    # full batch, cap decode chunks at this many steps (power of two) so a
+    # slot freed mid-chunk reaches the next admission point sooner —
+    # bounds queued-request TTFT at the cost of more dispatches.  0 = off
+    # (chunks stay decode_chunk long).  Per-request priority/deadline knobs
+    # live on submit()/Request.
+    qos_chunk: int = 0
     # GSPMD mesh spec, e.g. "model=8" or "data=2,model=4" (empty = single
     # device).  With a mesh, params/KV get TP shardings (parallel/sharding.py)
     # and the jnp compute path runs partitioned by XLA; the Pallas fast path

@@ -68,10 +68,17 @@ class Request:
     seed: int = 128391297
     callback: Optional[Callable[[str, int], object]] = None
     stop_tokens: Tuple[int, ...] = ()
+    # QoS: higher priority admits first (FIFO within a class); a nonzero
+    # deadline rejects the request if it is still QUEUED deadline_s seconds
+    # after submit (admitted requests always run to completion — their slot
+    # is already paid for)
+    priority: int = 0
+    deadline_s: float = 0.0
 
     # filled by the engine
     output_tokens: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    rejected: bool = False         # deadline expired while queued
     submit_s: float = 0.0
     first_token_s: float = 0.0     # TTFT (submit -> first emitted token)
     finish_s: float = 0.0
@@ -98,6 +105,7 @@ class BatchStats:
     prefill_s: float = 0.0
     prefix_hits: int = 0            # admissions served from the prefix cache
     prefix_rows_reused: int = 0     # K/V rows copied instead of prefilled
+    rejected: int = 0               # requests dropped at an expired deadline
 
     @property
     def aggregate_tps(self) -> float:
@@ -416,8 +424,13 @@ class BatchedEngine:
                temperature: float = 0.0, topp: float = 0.9,
                seed: int = 128391297,
                stop_tokens: Optional[Sequence[int]] = None,
-               callback=None) -> Request:
-        """Queue a generation job; returns the live Request handle."""
+               callback=None, priority: int = 0,
+               deadline_s: float = 0.0) -> Request:
+        """Queue a generation job; returns the live Request handle.
+
+        ``priority``: admission order class (higher first, FIFO within);
+        ``deadline_s``: > 0 rejects the request if still queued that many
+        seconds after submit (``req.rejected``)."""
         tokens = (self.tokenizer.encode(prompt, add_bos=True)
                   if isinstance(prompt, str) else list(prompt))
         if not tokens:
@@ -431,10 +444,30 @@ class BatchedEngine:
             max_new_tokens=min(max_new_tokens, self.S - len(tokens) - 1),
             temperature=temperature, topp=topp, seed=seed,
             callback=callback, stop_tokens=tuple(int(t) for t in stop_tokens),
+            priority=priority, deadline_s=deadline_s,
             submit_s=time.perf_counter())
         self._next_id += 1
         self.queue.append(req)
         return req
+
+    def _qos_queue_pass(self) -> None:
+        """Deadline-expire queued requests, then order the queue by
+        priority class (stable: FIFO within a class — submission order is
+        the tiebreak, so priority-0 traffic behaves exactly as before)."""
+        if any(r.deadline_s > 0 for r in self.queue):
+            now = time.perf_counter()
+            kept = deque()
+            for r in self.queue:
+                if r.deadline_s > 0 and now - r.submit_s > r.deadline_s:
+                    r.rejected = r.done = True
+                    r.finish_s = now
+                    self.stats.rejected += 1
+                else:
+                    kept.append(r)
+            self.queue = kept
+        if any(r.priority for r in self.queue):
+            self.queue = deque(sorted(self.queue,
+                                      key=lambda r: -r.priority))
 
     def _free_slots(self) -> List[int]:
         return [b for b, r in enumerate(self.slot_req) if r is None]
@@ -480,6 +513,7 @@ class BatchedEngine:
         """Admit queued requests into free slots, one device call per
         prefill bucket (N padded to a power of two by repeating the last
         request — duplicate slot writes are identical, so harmless)."""
+        self._qos_queue_pass()
         free = self._free_slots()
         take = min(len(free), len(self.queue))
         if take == 0:
@@ -604,6 +638,12 @@ class BatchedEngine:
                 min(self.S - 1 - int(self.pos[b]) for b in live),
                 max(req.max_new_tokens - len(req.output_tokens)
                     for req in (self.slot_req[b] for b in live)))
+        if self.ec.qos_chunk and self.queue:
+            # requests are waiting on a full batch: shorter chunks reach
+            # the next admission point sooner (a slot freed by a stop
+            # token at step k of a K-step chunk otherwise idles K-k steps
+            # while the queued request's TTFT clock runs)
+            K = min(K, self.ec.qos_chunk)
         K = max(K, 1)
         K = 1 << (K.bit_length() - 1)
         greedy_only = all(self.slot_req[b].temperature <= 0.0 for b in live)

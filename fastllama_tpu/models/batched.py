@@ -557,7 +557,12 @@ def decode_step(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array,
             from fastllama_tpu.ops.attention import \
                 gqa_attention_decode_batched
             ck_l, cv_l = _layer_slices(cache, l, compute_dtype)
-            o = gqa_attention_decode_batched(q, ck_l, cv_l, k, v, pos)
+            # the cache may carry MORE slots than the step decodes (the
+            # multi-host engine's sink slot sits past the serving slots so
+            # serve_w stays divisible for the flash kernel's slot blocks);
+            # row b always addresses cache slot b
+            o = gqa_attention_decode_batched(q, ck_l[:B], cv_l[:B], k, v,
+                                             pos)
         o = o.reshape(B, n_heads * hs)
         x = x + proj(o, params.wo, l)
 

@@ -138,7 +138,11 @@ def spmd_decode_step(cfg: ModelConfig, mesh, params: LlamaParams,
             else:
                 from fastllama_tpu.models.batched import _layer_slices
                 ck_l, cv_l = _layer_slices(local_cache, l, compute_dtype)
-                o = gqa_attention_decode_batched(q, ck_l, cv_l, k, v, pos_)
+                # the local cache shard may hold MORE slots than the step
+                # decodes (multi-host sink slot past the serving range);
+                # local row b addresses local slot b
+                o = gqa_attention_decode_batched(q, ck_l[:Bl], cv_l[:Bl],
+                                                 k, v, pos_)
             o = o.reshape(Bl, n_heads_l * hs)
             # row-parallel O projection: partial sums -> psum (the GSPMD
             # analogue of the reference's add-at-offset, transformer.cpp:465)
@@ -411,3 +415,141 @@ def spmd_prefill_tail(cfg: ModelConfig, mesh, params: LlamaParams,
     from fastllama_tpu.ops.qmatmul import qmatmul
     logits = qmatmul(xl, params.classifier, compute_dtype)
     return logits[0].astype(jnp.float32), BatchedKVCache(ck, cv, ksc, vsc)
+
+
+def spmd_prefill_tail_hits(cfg: ModelConfig, mesh, params: LlamaParams,
+                           tokens: jax.Array, lengths: jax.Array,
+                           slots: jax.Array, donors: jax.Array,
+                           starts: jax.Array, cache: BatchedKVCache, *,
+                           mm: Callable, mm_idx: Optional[Callable],
+                           attn_tail: Optional[Callable] = None,
+                           compute_dtype=jnp.bfloat16):
+    """One prefix-cache HIT per data shard, donor copy fused — the
+    multi-host hit wave (runtime/multihost.py): every host admits (at most)
+    one hit per collective call; hosts without one pass their sink slot
+    with start=0.
+
+    tokens (H, TB) with H = the data-axis size; lengths/slots/donors/starts
+    (H,) DATA-SHARD-LOCAL ids.  Shard h copies its donor's rows [0, start)
+    into its slot on its LOCAL cache shard (host-local prefix reuse — a
+    cross-host donor would need a DCN row copy, out of scope), then runs
+    the TB-token tail at positions [start, start+TB), exactly the
+    single-slot ``spmd_prefill_tail`` flow per shard.  Returns
+    (last-valid-token logits (H, vocab), cache)."""
+    from fastllama_tpu.models.batched import copy_slot_prefix
+    from fastllama_tpu.ops.attention import gqa_attention
+
+    H, TB = tokens.shape
+    hs, n_heads, n_kv = cfg.head_size, cfg.n_heads, cfg.n_kv_heads
+    mp = mesh.shape[MODEL_AXIS]
+    _check_dims(cfg, mesh, cache.k.shape[1], True)
+    if H != mesh.shape[DATA_AXIS]:
+        raise ValueError(f"one hit per data shard: H={H} != "
+                         f"data axis {mesh.shape[DATA_AXIS]}")
+
+    x = embed_tokens(params.embedding, tokens.reshape(H * TB),
+                     compute_dtype).reshape(H, TB, -1)
+    positions = starts[:, None] + jnp.arange(TB, dtype=jnp.int32)[None]
+    cos, sin = rope_tables(cfg, positions.reshape(-1), compute_dtype)
+    cos = cos.reshape(H, TB, -1)
+    sin = sin.reshape(H, TB, -1)
+
+    col = P(None, None, MODEL_AXIS)
+    row = P(None, MODEL_AXIS, None)
+    da_rows = P(DATA_AXIS, None, None)
+    da_vec = P(DATA_AXIS)
+    cache5 = P(None, DATA_AXIS, MODEL_AXIS, None, None)
+    cache4 = P(None, DATA_AXIS, MODEL_AXIS, None)
+    sc_spec = cache4 if cache.quantized else P()
+
+    def body(x, cos, sin, slot_a, donor_a, start_a, attn_norm, ffn_norm,
+             wq, wk, wv, wo, w1, w2, w3, ck, cv, ksc, vsc):
+        """Per (data, model) shard: x (1, TB, D); cache local
+        (L, W, n_kv/mp, S, hs); slot/donor/start local scalars."""
+        x = x[0]
+        cos_, sin_ = cos[0], sin[0]
+        slot_, donor_, start_ = slot_a[0], donor_a[0], start_a[0]
+        n_heads_l = n_heads // mp
+        n_kv_l = n_kv // mp
+
+        def proj(h, w, l):
+            if mm_idx is not None:
+                return mm_idx(h, w, l)
+            from fastllama_tpu.models.batched import _take_layer
+            return mm(h, _take_layer(w, l))
+
+        # donor rows [0, start) -> slot, on the local shard, fused into
+        # this call (a separate copy dispatch costs a tunnel round-trip)
+        pre = copy_slot_prefix(BatchedKVCache(ck, cv, ksc, vsc),
+                               donor_, slot_, start_)
+        ck, cv, ksc, vsc = pre.k, pre.v, pre.k_scale, pre.v_scale
+        local_cache = pre
+
+        def scan_fn(x, layer):
+            l, attn_norm_l, ffn_norm_l = layer
+            h = rmsnorm(x, attn_norm_l, cfg.norm_eps)
+            q = proj(h, wq, l).reshape(TB, n_heads_l, hs).transpose(1, 0, 2)
+            k = proj(h, wk, l).reshape(TB, n_kv_l, hs).transpose(1, 0, 2)
+            v = proj(h, wv, l).reshape(TB, n_kv_l, hs).transpose(1, 0, 2)
+            q = apply_rope_half(q, cos_[None], sin_[None])
+            k = apply_rope_half(k, cos_[None], sin_[None])
+
+            o = attn_tail(q, local_cache, slot_, l, start_, k, v) \
+                if attn_tail is not None else None
+            if o is None:
+                from fastllama_tpu.models.batched import _layer_slices
+                ck_l, cv_l = _layer_slices(local_cache, l, compute_dtype)
+                ck_s = jax.lax.dynamic_index_in_dim(ck_l, slot_, 0,
+                                                    keepdims=False)
+                cv_s = jax.lax.dynamic_index_in_dim(cv_l, slot_, 0,
+                                                    keepdims=False)
+                kk = jax.lax.dynamic_update_slice(
+                    ck_s.astype(compute_dtype), k, (0, start_, 0))
+                vv = jax.lax.dynamic_update_slice(
+                    cv_s.astype(compute_dtype), v, (0, start_, 0))
+                o = gqa_attention(q, kk, vv, start_)
+            o = o.transpose(1, 0, 2).reshape(TB, n_heads_l * hs)
+            x = x + jax.lax.psum(proj(o, wo, l), MODEL_AXIS)
+
+            h = rmsnorm(x, ffn_norm_l, cfg.norm_eps)
+            hd = swiglu(proj(h, w1, l), proj(h, w3, l))
+            x = x + jax.lax.psum(proj(hd, w2, l), MODEL_AXIS)
+            return x, (k, v)
+
+        xs = (jnp.arange(cfg.n_layers, dtype=jnp.int32), attn_norm,
+              ffn_norm)
+        x, (ks, vs) = jax.lax.scan(scan_fn, x, xs)     # (L, n_kv_l, TB, hs)
+
+        if ksc is not None:
+            kq, ks_ = quantize_rows(ks)
+            vq, vs_ = quantize_rows(vs)
+            ksc = jax.lax.dynamic_update_slice(
+                ksc, ks_[..., 0][:, None], (0, slot_, 0, start_))
+            vsc = jax.lax.dynamic_update_slice(
+                vsc, vs_[..., 0][:, None], (0, slot_, 0, start_))
+        else:
+            kq, vq = ks.astype(ck.dtype), vs.astype(cv.dtype)
+        ck = jax.lax.dynamic_update_slice(ck, kq[:, None],
+                                          (0, slot_, 0, start_, 0))
+        cv = jax.lax.dynamic_update_slice(cv, vq[:, None],
+                                          (0, slot_, 0, start_, 0))
+        return x[None], ck, cv, ksc, vsc
+
+    in_specs = (da_rows, da_rows, da_rows, da_vec, da_vec, da_vec,
+                P(), P(), col, col, col, row, col, row, col,
+                cache5, cache5, sc_spec, sc_spec)
+    out_specs = (da_rows, cache5, cache5, sc_spec, sc_spec)
+    fn = _shard_map(body, mesh, in_specs, out_specs)
+    x, ck, cv, ksc, vsc = fn(
+        x, cos, sin, slots.astype(jnp.int32), donors.astype(jnp.int32),
+        starts.astype(jnp.int32), params.attn_norm, params.ffn_norm,
+        params.wq, params.wk, params.wv, params.wo, params.w1, params.w2,
+        params.w3, cache.k, cache.v, cache.k_scale, cache.v_scale)
+
+    # classifier on each hit's last valid row (GSPMD handles vocab sharding)
+    x = rmsnorm(x, params.out_norm, cfg.norm_eps)
+    rows = jnp.take_along_axis(
+        x, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    from fastllama_tpu.ops.qmatmul import qmatmul
+    logits = qmatmul(rows, params.classifier, compute_dtype)
+    return logits.astype(jnp.float32), BatchedKVCache(ck, cv, ksc, vsc)

@@ -169,6 +169,20 @@ class MultiHostEngine:
             ec = dataclasses.replace(ec, use_pallas=False)
         self.ec = ec
 
+        # decode skips the sink slot whenever slot ids stay aligned (spmd:
+        # shard-local rows; single host: global==local): the sink is the
+        # LAST slot, so a serve_w-row dispatch addresses cache slots
+        # [0, serve_w) exactly, and serve_w (the user's max_batch_size)
+        # keeps the flash kernel's slot-block divisible — W = mbs+1 is
+        # often odd/prime, which forced BB=1 and a per-(slot, head-block)
+        # program explosion measured at 3.3x whole-engine slowdown on v5e
+        # (751 vs 2497 tok/s aggregate, 7B INT8 B=40).  The multi-host
+        # GSPMD jnp path keeps full-W dispatch: its q row ids are GLOBAL
+        # (row i = slot i only if every slot is covered) and it runs no
+        # Pallas, so slot-blocking never binds there.
+        self._decode_w = (self.serve_w
+                          if (self._spmd or self.n_hosts == 1) else self.W)
+
         from fastllama_tpu.runtime.kernels import select_kernels
         self._kb = select_kernels(
             ec, self._cdt, config.max_seq_len, self.kv_dtype,
@@ -210,12 +224,32 @@ class MultiHostEngine:
         self._buckets = sorted({min(b, S) for b in ec.prefill_buckets
                                 if b <= S} | {S})
 
+        # host-LOCAL prefix cache (same rolling-hash index as
+        # BatchedEngine — the methods are borrowed below): admissions
+        # whose prompt shares a block prefix with a live slot ON THIS HOST
+        # copy that slot's rows and prefill only the tail, one hit per
+        # host per collective call (spmd_prefill_tail_hits).  Cross-host
+        # donors would need a DCN row copy — out of scope, documented.
+        # The multi-dev GSPMD jnp path can't express per-host scalars in
+        # one collective program, so hits need spmd kernels (or one host).
+        self._prefix_enabled = bool(ec.prefix_cache) and (
+            self._spmd or not multi_dev)
+        if ec.prefix_cache and not self._prefix_enabled:
+            import warnings
+            warnings.warn("prefix_cache on a multi-device mesh needs "
+                          "spmd_kernels; disabled")
+        self._prefix_block = 16
+        self._prefix_index = {}
+        self._slot_prefix_keys = [[] for _ in range(self.serve_w)]
+        self._planned_hits = {}
+
         self.queue = deque()
         self.stats = BatchStats()
         self._next_id = 0
         self._chunk_counter = 0
         self._prefill_fns = {}
         self._chunk_fns = {}
+        self._tail_fns = {}
         self._sh_slot_i32 = NamedSharding(mesh, P(DATA_AXIS))
         self._sh_slot_f32 = self._sh_slot_i32
         self._sh_rows2 = NamedSharding(mesh, P(DATA_AXIS, None))
@@ -256,6 +290,16 @@ class MultiHostEngine:
                 return b
         return self.S
 
+    # host-local prefix index: IDENTICAL semantics to the single-host
+    # engine — borrow the methods (they only touch _prefix_block/_index/
+    # _slot_prefix_keys/slot_req, all mirrored here)
+    from fastllama_tpu.runtime.batching import BatchedEngine as _BE
+    _prefix_hashes = staticmethod(_BE._prefix_hashes)
+    _prefix_register = _BE._prefix_register
+    _prefix_release = _BE._prefix_release
+    _prefix_lookup = _BE._prefix_lookup
+    del _BE
+
     def _get_prefill(self, bucket: int, a: int):
         key_ = (bucket, a)
         if key_ not in self._prefill_fns:
@@ -287,6 +331,52 @@ class MultiHostEngine:
             self._prefill_fns[key_] = jax.jit(
                 f, donate_argnums=(4,) if self.ec.donate_cache else ())
         return self._prefill_fns[key_]
+
+    def _get_tail_hit(self, bucket: int):
+        """Collective prefix-HIT admission: donor-row copy + tail prefill,
+        ONE hit per host per call (hosts without one pass sink ids)."""
+        if bucket not in self._tail_fns:
+            cfg, cdt, kb = self.config, self._cdt, self._kb
+            at = None
+            if kb.attn_bidx is not None:
+                from fastllama_tpu.ops.pallas.flash_decode import \
+                    make_attn_tail
+                at = make_attn_tail(interpret=self.ec.pallas_interpret)
+
+            if self._spmd:
+                from fastllama_tpu.parallel.spmd_step import \
+                    spmd_prefill_tail_hits
+                mesh = self.mesh
+
+                def f(params, tokens, lengths, slots, donors, starts,
+                      cache, keys, temps, topps):
+                    logits, cache = spmd_prefill_tail_hits(
+                        cfg, mesh, params, tokens, lengths, slots, donors,
+                        starts, cache, mm=kb.mm, mm_idx=kb.mm_idx,
+                        attn_tail=at, compute_dtype=cdt)
+                    toks = sampling.sample_batched(logits, keys, temps,
+                                                   topps)
+                    return toks, cache
+            else:
+                # single-host degenerate (H == 1): the scalar tail path
+                from fastllama_tpu.models.batched import (
+                    copy_slot_prefix, prefill_into_slot_at)
+
+                def f(params, tokens, lengths, slots, donors, starts,
+                      cache, keys, temps, topps):
+                    cache = copy_slot_prefix(cache, donors[0], slots[0],
+                                             starts[0])
+                    logits, cache = prefill_into_slot_at(
+                        cfg, params, tokens[0], lengths[0], slots[0],
+                        starts[0], cache, mm=kb.mm, mm_idx=kb.mm_idx,
+                        attn_tail=at, compute_dtype=cdt)
+                    toks = sampling.sample_batched(logits[None], keys,
+                                                   temps, topps)
+                    return toks, cache
+
+            self._tail_fns[bucket] = jax.jit(
+                f, donate_argnums=(6,) if self.ec.donate_cache else ())
+        return self._tail_fns[bucket]
 
     def _get_chunk(self, n_steps: int, greedy_only: bool, s_bound: int = 0):
         key_ = (n_steps, greedy_only, s_bound)
@@ -338,7 +428,8 @@ class MultiHostEngine:
                temperature: float = 0.0, topp: float = 0.9,
                seed: int = 128391297,
                stop_tokens: Optional[Sequence[int]] = None,
-               callback=None) -> Request:
+               callback=None, priority: int = 0,
+               deadline_s: float = 0.0) -> Request:
         tokens = (self.tokenizer.encode(prompt, add_bos=True)
                   if isinstance(prompt, str) else list(prompt))
         if not tokens:
@@ -353,10 +444,30 @@ class MultiHostEngine:
             max_new_tokens=min(max_new_tokens, self.S - len(tokens) - 1),
             temperature=temperature, topp=topp, seed=seed,
             callback=callback, stop_tokens=tuple(int(t) for t in stop_tokens),
+            priority=priority, deadline_s=deadline_s,
             submit_s=time.perf_counter())
         self._next_id += 1
         self.queue.append(req)
         return req
+
+    def _qos_queue_pass(self) -> None:
+        """Host-LOCAL QoS before planning (each host orders its own queue;
+        the lockstep plan only exchanges counts, so no cross-host state):
+        expire deadlines, then stable-sort by priority class."""
+        if any(r.deadline_s > 0 for r in self.queue):
+            now = time.perf_counter()
+            kept = deque()
+            for r in self.queue:
+                if r.deadline_s > 0 and now - r.submit_s > r.deadline_s:
+                    r.rejected = r.done = True
+                    r.finish_s = now
+                    self.stats.rejected += 1
+                else:
+                    kept.append(r)
+            self.queue = kept
+        if any(r.priority for r in self.queue):
+            self.queue = deque(sorted(self.queue,
+                                      key=lambda r: -r.priority))
 
     def _emit(self, slot: int, tok: int, from_decode: bool = True) -> None:
         req = self.slot_req[slot]
@@ -379,17 +490,42 @@ class MultiHostEngine:
             req.done = True
             req.finish_s = time.perf_counter()
             self.slot_req[slot] = None
+            if self._prefix_enabled:
+                # freed slot's rows are no longer stable (idle decode
+                # writes row 0) — drop any prefixes it donated
+                self._prefix_release(slot)
             self.pos[slot] = 0
             self.pending[slot] = 0
             self.stats.completed += 1
 
     def _local_plan(self) -> np.ndarray:
-        plan = np.zeros(_PLAN_NFIX + len(self._buckets), np.int32)
+        self._qos_queue_pass()
+        NB = len(self._buckets)
+        plan = np.zeros(_PLAN_NFIX + 2 * NB, np.int32)
         free = [i for i, r in enumerate(self.slot_req) if r is None]
         take = min(len(free), len(self.queue), _ADMIT_CAP)
         plan[_PLAN_ADMIT] = take
+        # prefix hits plan into the SECOND bucket bank (counts by TAIL
+        # bucket); the fleet runs max-over-hosts hit waves before the
+        # full-prefill waves.  Hits are remembered so admission consumes
+        # exactly what was planned.
+        self._planned_hits = {}
+        hit_ids = set()
+        if self._prefix_enabled:
+            for i in range(take):
+                req = self.queue[i]
+                donor, plen = self._prefix_lookup(req.prompt_tokens)
+                if donor is not None:
+                    tb = self._bucket(len(req.prompt_tokens) - plen)
+                    self._planned_hits.setdefault(tb, []).append(
+                        (req, donor, plen))
+                    hit_ids.add(req.id)
+                    plan[_PLAN_NFIX + NB + self._buckets.index(tb)] += 1
         for i in range(take):
-            b = self._bucket(len(self.queue[i].prompt_tokens))
+            req = self.queue[i]
+            if req.id in hit_ids:
+                continue
+            b = self._bucket(len(req.prompt_tokens))
             plan[_PLAN_NFIX + self._buckets.index(b)] += 1
         live = [i for i, r in enumerate(self.slot_req) if r is not None]
         will_live = bool(live) or take > 0
@@ -399,6 +535,12 @@ class MultiHostEngine:
                        min(self.S - 1 - int(self.pos[i]) for i in live),
                        max(r.max_new_tokens - len(r.output_tokens)
                            for r in (self.slot_req[i] for i in live)))
+            if self.ec.qos_chunk and self.queue:
+                # this host has requests waiting on a full batch: cap the
+                # FLEET's chunk (plan K = min over hosts) so the next
+                # admission point comes sooner — same TTFT bound as the
+                # single-host engine's qos_chunk
+                kmax = min(kmax, self.ec.qos_chunk)
             plan[_PLAN_KMAX] = max(1, kmax)
             plan[_PLAN_GREEDY] = int(all(
                 self.slot_req[i].temperature <= 0.0 for i in live))
@@ -468,19 +610,89 @@ class MultiHostEngine:
                                (req.id * 65537 + 1) & 0xFFFFFFFF)
             req._prev_token = req.prompt_tokens[-1]
             self.stats.total_prompt_tokens += int(lens[i])
+            if self._prefix_enabled:
+                self._prefix_register(slot, req.prompt_tokens)
             self._emit(slot, int(firsts[i]), from_decode=False)
+
+    def _admit_hit_wave(self, bucket: int, idx: int) -> None:
+        """One collective hit wave: this host admits its ``idx``-th planned
+        hit of tail-bucket ``bucket`` (or participates with sink ids)."""
+        hits = self._planned_hits.get(bucket, [])
+        item = hits[idx] if idx < len(hits) else None
+        toks_np = np.zeros((1, bucket), np.int32)
+        lens = np.ones(1, np.int32)
+        slots_np = np.full(1, self.serve_w, np.int32)      # sink (local id)
+        donors_np = np.full(1, self.serve_w, np.int32)
+        starts_np = np.zeros(1, np.int32)
+        temps = np.zeros(1, np.float32)
+        topps = np.ones(1, np.float32)
+        keys = np.zeros((1, 2), np.uint32)
+        slot = -1
+        if item is not None:
+            req, donor, plen = item
+            slot = next(i for i, r in enumerate(self.slot_req) if r is None)
+            self.queue.remove(req)
+            tail = req.prompt_tokens[plen:]
+            toks_np[0, :len(tail)] = tail
+            lens[0] = len(tail)
+            slots_np[0] = slot
+            donors_np[0] = donor
+            starts_np[0] = plen
+            temps[0] = req.temperature
+            topps[0] = req.topp
+            keys[0] = (req.seed & 0xFFFFFFFF, req.id & 0xFFFFFFFF)
+
+        t0 = time.perf_counter()
+        fn = self._get_tail_hit(bucket)
+        firsts, self.cache = fn(
+            self.params,
+            self._to_global(toks_np, self._sh_rows2),
+            self._to_global(lens, self._sh_slot_i32),
+            self._to_global(slots_np, self._sh_slot_i32),
+            self._to_global(donors_np, self._sh_slot_i32),
+            self._to_global(starts_np, self._sh_slot_i32),
+            self.cache,
+            self._to_global(keys, self._sh_rows2),
+            self._to_global(temps, self._sh_slot_f32),
+            self._to_global(topps, self._sh_slot_f32))
+        firsts = self._to_local(firsts, P(DATA_AXIS))
+        self.stats.prefill_s += time.perf_counter() - t0
+
+        if item is not None:
+            req, donor, plen = item
+            self.slot_req[slot] = req
+            self.pos[slot] = len(req.prompt_tokens)
+            self.temps[slot] = req.temperature
+            self.topps[slot] = req.topp
+            self.pending[slot] = int(firsts[0])
+            self.keys[slot] = (req.seed & 0xFFFFFFFF,
+                               (req.id * 65537 + 1) & 0xFFFFFFFF)
+            req._prev_token = req.prompt_tokens[-1]
+            self.stats.total_prompt_tokens += len(req.prompt_tokens)
+            self.stats.prefix_hits += 1
+            self.stats.prefix_rows_reused += plen
+            self._prefix_register(slot, req.prompt_tokens)
+            self._emit(slot, int(firsts[0]), from_decode=False)
 
     def step(self) -> bool:
         """One lockstep scheduling round across all hosts.  Returns True
         while ANY host still has work."""
-        width = _PLAN_NFIX + len(self._buckets)
+        NB = len(self._buckets)
+        width = _PLAN_NFIX + 2 * NB
         plans = np.asarray(multihost_utils.process_allgather(
             jnp.asarray(self._local_plan())))
         plans = plans.reshape(self.n_hosts, width)
 
+        # prefix-hit waves first (cheapest admissions; donors are live at
+        # plan time and nothing frees a slot before these run)
+        for j in range(NB - 1, -1, -1):
+            h = int(plans[:, _PLAN_NFIX + NB + j].max())
+            for w in range(h):
+                self._admit_hit_wave(self._buckets[j], w)
+
         # one admission wave per bucket with fleet-wide demand, largest
         # first (its requests have the least slack to spare)
-        for j in range(len(self._buckets) - 1, -1, -1):
+        for j in range(NB - 1, -1, -1):
             a = int(plans[:, _PLAN_NFIX + j].max())
             if a > 0:
                 self._admit_wave(a, self._buckets[j])
@@ -503,25 +715,26 @@ class MultiHostEngine:
         # fresh chunk keys: any uint32 pair is a valid threefry key; vary the
         # counter so resampling differs per chunk
         self._chunk_counter += 1
-        kv = self.keys.copy()
+        dw = self._decode_w
+        kv = self.keys[:dw].copy()
         kv[:, 1] = (kv[:, 1] + self._chunk_counter) & 0xFFFFFFFF
 
         t0 = time.perf_counter()
         fn = self._get_chunk(K, greedy, s_bound)
         toks, self.cache = fn(
             self.params, self.cache,
-            self._to_global(self.pending, self._sh_slot_i32),
-            self._to_global(self.pos, self._sh_slot_i32),
+            self._to_global(self.pending[:dw], self._sh_slot_i32),
+            self._to_global(self.pos[:dw], self._sh_slot_i32),
             self._to_global(kv, self._sh_rows2),
-            self._to_global(self.temps, self._sh_slot_f32),
-            self._to_global(self.topps, self._sh_slot_f32))
-        toks_np = self._to_local(toks, P(None, DATA_AXIS))     # (K, W)
+            self._to_global(self.temps[:dw], self._sh_slot_f32),
+            self._to_global(self.topps[:dw], self._sh_slot_f32))
+        toks_np = self._to_local(toks, P(None, DATA_AXIS))     # (K, dw)
         self.stats.decode_s += time.perf_counter() - t0
 
         live = [i for i, r in enumerate(self.slot_req) if r is not None]
-        self.pos = np.minimum(self.pos + K, self.S - 1)
-        self.pending = toks_np[-1].copy()
-        for w in range(self.W):
+        self.pos[:dw] = np.minimum(self.pos[:dw] + K, self.S - 1)
+        self.pending[:dw] = toks_np[-1]
+        for w in range(dw):
             if w >= self.serve_w or self.slot_req[w] is None:
                 self.pos[w] = 0
                 self.pending[w] = 0
@@ -551,7 +764,8 @@ class MultiHostEngine:
         s = self.stats
         vec = np.asarray([s.completed, s.total_prompt_tokens,
                           s.total_output_tokens, s.decode_tokens,
-                          s.prefix_hits, s.prefix_rows_reused], np.int64)
+                          s.prefix_hits, s.prefix_rows_reused,
+                          s.rejected], np.int64)
         times = np.asarray([s.decode_s, s.prefill_s], np.float64)
         all_counts = np.asarray(multihost_utils.process_allgather(
             jnp.asarray(vec))).reshape(self.n_hosts, -1).sum(axis=0)
@@ -564,6 +778,7 @@ class MultiHostEngine:
             decode_tokens=int(all_counts[3]),
             prefix_hits=int(all_counts[4]),
             prefix_rows_reused=int(all_counts[5]),
+            rejected=int(all_counts[6]),
             decode_s=float(all_times[0]),
             prefill_s=float(all_times[1]))
 

@@ -25,6 +25,12 @@ PROMPTS = {
     1: ["one two three " * 4, "hello there world"],
 }
 
+# phase 2 (spmd only): host-local prefix-cache hit — a 32-token donor stays
+# live while a second prompt sharing its first 16 tokens admits via the
+# collective hit wave (spmd_prefill_tail_hits); per-rank distinct tails
+PREFIX_DONOR = list(range(3, 35))                      # 32 tokens
+PREFIX_TAILS = {0: [40, 41, 42], 1: [50, 51, 52, 53]}
+
 
 def main() -> None:
     rank, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
@@ -42,16 +48,31 @@ def main() -> None:
         ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
         EngineConfig(max_seq_len=64, max_batch_size=2,
                      compute_dtype="float32", spmd_kernels=spmd,
-                     pallas_interpret=spmd),
+                     pallas_interpret=spmd, prefix_cache=spmd),
         decode_chunk=4)
     if spmd:
         assert eng._spmd, "spmd path must engage in the 2-process test"
     reqs = eng.generate_all(PROMPTS[rank], max_new_tokens=6,
                             temperature=0.0, stop_tokens=())
+
+    hit_outputs, hits, rows = [], 0, 0
+    if spmd:
+        # phase 2: lockstep hit wave (both ranks run the SAME schedule)
+        donor = eng.submit(PREFIX_DONOR, max_new_tokens=12, stop_tokens=())
+        eng.step()                      # admit donor; registers its prefix
+        hit = eng.submit(PREFIX_DONOR[:16] + PREFIX_TAILS[rank],
+                         max_new_tokens=4, stop_tokens=())
+        eng.run()
+        assert donor.done and hit.done
+        hit_outputs = [hit.output_tokens]
+        hits, rows = eng.stats.prefix_hits, eng.stats.prefix_rows_reused
+
     gstats = eng.global_stats()
     with open(outfile, "w") as f:
         json.dump({"rank": rank,
                    "outputs": [r.output_tokens for r in reqs],
+                   "hit_outputs": hit_outputs,
+                   "prefix_hits": hits, "prefix_rows": rows,
                    "completed": eng.stats.completed,
                    "global_completed": gstats.completed,
                    "global_decode_tokens": gstats.decode_tokens}, f)

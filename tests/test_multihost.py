@@ -89,10 +89,21 @@ def test_multihost_two_processes(tmp_path, spmd):
     want = _reference_outputs(ckpt, tokp, PROMPTS[0] + PROMPTS[1])
     got = results[0]["outputs"] + results[1]["outputs"]
     assert got == want
-    assert results[0]["completed"] == results[1]["completed"] == 2
-    # cross-host aggregate stats agree on both ranks and cover all 4 jobs
-    assert results[0]["global_completed"] == \
-        results[1]["global_completed"] == 4
+    assert results[0]["completed"] == results[1]["completed"] >= 2
+    if spmd == "1":
+        # phase-2 prefix hit: each host admitted one request through the
+        # collective hit wave; its tokens must equal a full prefill's
+        from tests.multihost_worker import PREFIX_DONOR, PREFIX_TAILS
+        for rank in (0, 1):
+            assert results[rank]["prefix_hits"] == 1
+            assert results[rank]["prefix_rows"] == 16
+        hit_prompts = [PREFIX_DONOR[:16] + PREFIX_TAILS[r] for r in (0, 1)]
+        want_hits = _reference_outputs(ckpt, tokp, hit_prompts, max_new=4)
+        assert [results[0]["hit_outputs"][0],
+                results[1]["hit_outputs"][0]] == want_hits
+    # cross-host aggregate stats agree on both ranks and cover all jobs
+    assert results[0]["global_completed"] == results[1]["global_completed"]
+    assert results[0]["global_completed"] >= 4
     assert results[0]["global_decode_tokens"] == \
         results[1]["global_decode_tokens"] > 0
 
@@ -173,3 +184,35 @@ def test_multihost_single_process_int8_kv_spmd(tmp_path):
     got = [r.output_tokens for r in eng.generate_all(
         prompts, max_new_tokens=6, temperature=0.0, stop_tokens=())]
     assert got == want
+
+
+def test_multihost_prefix_cache_spmd(tmp_path):
+    """Host-local prefix cache through the collective hit wave
+    (spmd_prefill_tail_hits) on a single-process data=1 x model=2 mesh:
+    the hit admission's tokens must equal a full prefill's, and the hit
+    counters must show the donor rows were reused."""
+    from fastllama_tpu.runtime.multihost import MultiHostEngine
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=CFG)
+    donor_prompt = list(range(3, 35))                  # 32 tokens
+    hit_prompt = donor_prompt[:16] + [40, 41, 42]
+
+    want = _reference_outputs(ckpt, tokp, [hit_prompt], max_new=4)[0]
+
+    eng = MultiHostEngine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=2,
+                     compute_dtype="float32", mesh="data=1,model=2",
+                     spmd_kernels=True, pallas_interpret=True,
+                     prefix_cache=True),
+        decode_chunk=4)
+    assert eng._spmd and eng._prefix_enabled
+    donor = eng.submit(donor_prompt, max_new_tokens=12, stop_tokens=())
+    eng.step()                          # admit donor; registers its prefix
+    hit = eng.submit(hit_prompt, max_new_tokens=4, stop_tokens=())
+    eng.run()
+    assert donor.done and hit.done
+    assert hit.output_tokens == want
+    assert eng.stats.prefix_hits == 1
+    assert eng.stats.prefix_rows_reused == 16

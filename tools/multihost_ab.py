@@ -79,33 +79,32 @@ def main():
     fused = params
     jax.block_until_ready(fused.wq.data)
 
-    from fastllama_tpu.runtime.batching import BatchedEngine
-    be = BatchedEngine(cfg, fused, tok,
-                       EngineConfig(max_seq_len=seq, kv_dtype=kv,
-                                    max_batch_size=batch,
-                                    fuse_weights=False),
-                       decode_chunk=chunk)
-    be_tps = drive(be, prompt, batch, n_tokens)
-    print(f"# BatchedEngine aggregate {be_tps:.1f} tok/s", file=sys.stderr)
-    del be
-
-    # MultiHostEngine: share the SAME fused params (a second fused copy
-    # would double weight HBM and blow the ~13 GB cliff); single process,
-    # one-device mesh -> degenerate lockstep, same kernels.
-    from fastllama_tpu.runtime.multihost import MultiHostEngine
-    mh = MultiHostEngine(cfg, fused, tok,
-                         EngineConfig(max_seq_len=seq, kv_dtype=kv,
-                                      max_batch_size=batch,
-                                      fuse_weights=False,
-                                      mesh="data=1,model=1"),
-                         decode_chunk=chunk)
-    mh_tps = drive(mh, prompt, batch, n_tokens)
-    print(f"# MultiHostEngine aggregate {mh_tps:.1f} tok/s", file=sys.stderr)
-
-    print(json.dumps({"config": name, "batch": batch,
-                      "batched_tok_s": round(be_tps, 1),
-                      "multihost_tok_s": round(mh_tps, 1),
-                      "ratio": round(mh_tps / be_tps, 3)}))
+    # AB_ENGINE selects ONE engine per process: running both in one process
+    # OOMs on the real chip (the first engine's compiled executables and
+    # cache buffers are not reliably freed before the second allocates its
+    # 7B-sized cache next to the shared weights).  Run each side separately
+    # and compare the two JSON lines.
+    which = os.environ.get("AB_ENGINE", "batched")
+    if which == "batched":
+        from fastllama_tpu.runtime.batching import BatchedEngine
+        eng = BatchedEngine(cfg, fused, tok,
+                            EngineConfig(max_seq_len=seq, kv_dtype=kv,
+                                         max_batch_size=batch,
+                                         fuse_weights=False),
+                            decode_chunk=chunk)
+    else:
+        # single process, one-device mesh -> degenerate lockstep, same
+        # kernels as the batched engine
+        from fastllama_tpu.runtime.multihost import MultiHostEngine
+        eng = MultiHostEngine(cfg, fused, tok,
+                              EngineConfig(max_seq_len=seq, kv_dtype=kv,
+                                           max_batch_size=batch,
+                                           fuse_weights=False,
+                                           mesh="data=1,model=1"),
+                              decode_chunk=chunk)
+    tps = drive(eng, prompt, batch, n_tokens)
+    print(json.dumps({"config": name, "engine": which, "batch": batch,
+                      "tok_s": round(tps, 1)}))
 
 
 if __name__ == "__main__":

@@ -61,8 +61,43 @@ def _qmm_chunk(x, w, s, gs: int, wide: bool):
         preferred_element_type=jnp.float32)
 
 
+def _qmm_chunk_groupdot(x, w, s, gs: int):
+    """Scale-after-dot variant: convert the int8 tile to bf16 (one VPU op
+    per element — no broadcast/multiply), contract each gs-row group
+    separately on the MXU, then apply the (TKg, TO) group scales to the
+    per-group partial dots.  Cuts the per-weight-element VPU work from
+    3 ops (convert + scale broadcast + multiply) to 1, at the cost of a
+    batched G-deep dot (K=gs per group) and a (TKg, TT, TO) f32
+    intermediate — a roofline experiment for the decode-dominant
+    4096x4096 wo stream measured at 74% HBM efficiency."""
+    TKg, TO = s.shape
+    TT = x.shape[0]
+    wg = w.astype(jnp.bfloat16).reshape(TKg, gs, TO)
+    xg = jnp.transpose(x.astype(jnp.bfloat16).reshape(TT, TKg, gs),
+                       (1, 0, 2))                  # (TKg, TT, gs)
+    part = jax.lax.dot_general(
+        xg, wg, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)        # (TKg, TT, TO)
+    return jnp.sum(part * s[:, None, :], axis=0)   # (TT, TO)
+
+
 def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, *, gs: int, wide: bool,
-                k_inner: int = 0):
+                k_inner: int = 0, groupdot: bool = False):
+    if groupdot and not wide:
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        o_ref[:] += _qmm_chunk_groupdot(x_ref[:], w_ref[:], s_ref[:], gs)
+        return
+    _qmm_kernel_std(x_ref, w_ref, s_ref, o_ref, gs=gs, wide=wide,
+                    k_inner=k_inner)
+
+
+def _qmm_kernel_std(x_ref, w_ref, s_ref, o_ref, *, gs: int, wide: bool,
+                    k_inner: int = 0):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -170,7 +205,7 @@ def supported(x: jax.Array, w) -> bool:
 
 def qmatmul_pallas(x: jax.Array, w: QArray, compute_dtype=jnp.bfloat16,
                    interpret: bool = False, tiles=None,
-                   k_inner: int = 0) -> jax.Array:
+                   k_inner: int = 0, groupdot: bool = False) -> jax.Array:
     """``x @ w`` with in-VMEM dequantization.  ``x``: (T, I) f32/bf16;
     ``w``: QArray (I, O) (split-half packed INT4: (I/2, O)), scales
     (I/gs, O).  Returns (T, O) in x.dtype.
@@ -222,7 +257,7 @@ def qmatmul_pallas(x: jax.Array, w: QArray, compute_dtype=jnp.bfloat16,
             or jnp.dtype(compute_dtype) == jnp.float32)
 
     kernel = functools.partial(_qmm_kernel, gs=gs, wide=wide,
-                               k_inner=k_inner)
+                               k_inner=k_inner, groupdot=groupdot)
     out = pl.pallas_call(
         kernel,
         grid=(T // TT, O // TO, I // TK),

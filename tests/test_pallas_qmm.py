@@ -37,6 +37,21 @@ def test_qmm_matches_jnp(T, O, I, qt):
     assert float(jnp.abs(got - ref).max()) / denom < 0.02
 
 
+@pytest.mark.parametrize("T", [1, 8])
+def test_qmm_groupdot_variant(T):
+    """Scale-after-dot experimental variant == standard kernel (1 bf16 ulp:
+    it keeps scales in f32 where the standard path rounds them to bf16)."""
+    O, I = 512, 256
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(T, I)), jnp.bfloat16)
+    w = make_qweight(O, I, QuantType.INT8)
+    ref = qmatmul_pallas(x, w, interpret=True).astype(jnp.float32)
+    got = qmatmul_pallas(x, w, interpret=True,
+                         groupdot=True).astype(jnp.float32)
+    denom = float(jnp.abs(ref).max())
+    assert float(jnp.abs(got - ref).max()) / denom < 0.01
+
+
 def test_make_mm_fallback():
     # unsupported shape (O not mult of 128) silently falls back to jnp
     mm = make_mm(interpret=True)

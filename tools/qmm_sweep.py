@@ -28,7 +28,7 @@ from fastllama_tpu.quant.groupquant import QArray
 PEAK = float(os.environ.get("SWEEP_PEAK_GBS", "819"))
 
 
-def bench_variant(I, O, T, iters, tiles, k_inner, gs=64):
+def bench_variant(I, O, T, iters, tiles, k_inner, gs=64, groupdot=False):
     rng = np.random.RandomState(0)
     w = QArray(jnp.asarray(rng.randint(-127, 128, (I, O)), jnp.int8),
                jnp.full((I // gs, O), 0.01, jnp.float32), None, gs,
@@ -39,7 +39,8 @@ def bench_variant(I, O, T, iters, tiles, k_inner, gs=64):
     x0 = jnp.asarray(rng.randn(T, I), jnp.bfloat16)
 
     def step(x, _):
-        y = qmatmul_pallas(x, w, tiles=tiles, k_inner=k_inner)  # (T, O)
+        y = qmatmul_pallas(x, w, tiles=tiles, k_inner=k_inner,
+                           groupdot=groupdot)  # (T, O)
         y = y * jax.lax.rsqrt(jnp.mean(jnp.square(y)) + 1e-6)
         if O >= I:
             x = y[:, :I].astype(jnp.bfloat16)
@@ -79,11 +80,21 @@ def main():
                      ("tk4096_to1024_ki512",
                       (min(256, T), 1024, 4096) if O % 1024 == 0 else None,
                       512)]
-        for label, tiles, ki in variants:
+        gd = [("groupdot_auto", None, 0)]
+        if I % 4096 == 0:
+            for to in (1024, 512, 256):
+                if O % to == 0:
+                    gd.append((f"groupdot_tk4096_to{to}",
+                               (min(256, T), to, 4096), 0))
+        variants += [(l, t, k, True) for l, t, k in gd]
+        for entry in variants:
+            label, tiles, ki = entry[:3]
+            groupdot = len(entry) > 3 and entry[3]
             if tiles is None and label.startswith("tk4096_to1024"):
                 continue
             try:
-                gbs = bench_variant(I, O, T, iters, tiles, ki)
+                gbs = bench_variant(I, O, T, iters, tiles, ki,
+                                    groupdot=groupdot)
             except Exception as e:          # noqa: BLE001 - sweep robustness
                 print(f"# {I}x{O} {label}: FAIL {type(e).__name__}",
                       file=sys.stderr)

@@ -220,9 +220,9 @@ def qmatmul_pallas(x: jax.Array, w: QArray, compute_dtype=jnp.bfloat16,
     gs = w.group_size
     if getattr(w, "packed", False):
         Ih = I // 2
-        TT, TO, TKp = _pick_tiles_packed(T, O, Ih, gs)
+        TT, TO, TKp = tiles or _pick_tiles_packed(T, O, Ih, gs)
         KHB = Ih // TKp
-        kernel = functools.partial(_qmm_kernel_p4, gs=gs)
+        kernel = functools.partial(_qmm_kernel_p4, gs=gs, groupdot=groupdot)
         out = pl.pallas_call(
             kernel,
             grid=(T // TT, O // TO, KHB),
@@ -283,7 +283,7 @@ def qmatmul_pallas(x: jax.Array, w: QArray, compute_dtype=jnp.bfloat16,
 
 
 def _qmm_kernel_p4(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, *,
-                   gs: int):
+                   gs: int, groupdot: bool = False):
     """Split-half packed INT4: the packed tile's low nibbles are logical K
     rows [k*TKp, (k+1)*TKp), the high nibbles the same range offset by I/2.
     Two clean half-K MXU passes, no sublane shuffling; x and scales arrive
@@ -302,6 +302,12 @@ def _qmm_kernel_p4(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, *,
                                 (24, x_hi_ref, s_hi_ref)):
         w = (p << shift) >> 28                    # sign-extended nibbles
         s = s_ref[:]                              # (TKp//gs, TO)
+        if groupdot:
+            # scale-after-dot (see _qmm_chunk_groupdot): skip the scale
+            # broadcast+multiply; int32->f32->bf16 converts only (the
+            # direct int32->bf16 convert measured slower on the VPU)
+            acc += _groupdot_p4(x_ref[:], w, s, gs)
+            continue
         TKg, TO = s.shape
         scale = jnp.broadcast_to(s[:, None, :],
                                  (TKg, gs, TO)).reshape(TKg * gs, TO)
@@ -314,6 +320,19 @@ def _qmm_kernel_p4(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, *,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     o_ref[:] += acc
+
+
+def _groupdot_p4(x, w_i32, s, gs: int):
+    """Scale-after-dot for one unpacked nibble plane: w_i32 (TKp, TO)."""
+    TKg, TO = s.shape
+    TT = x.shape[0]
+    wg = w_i32.astype(jnp.float32).astype(jnp.bfloat16).reshape(TKg, gs, TO)
+    xg = jnp.transpose(x.astype(jnp.bfloat16).reshape(TT, TKg, gs),
+                       (1, 0, 2))                  # (TKg, TT, gs)
+    part = jax.lax.dot_general(
+        xg, wg, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)        # (TKg, TT, TO)
+    return jnp.sum(part * s[:, None, :], axis=0)   # (TT, TO)
 
 
 def _qmm_kernel_p4_idx(l_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref,

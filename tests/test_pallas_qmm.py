@@ -37,14 +37,19 @@ def test_qmm_matches_jnp(T, O, I, qt):
     assert float(jnp.abs(got - ref).max()) / denom < 0.02
 
 
-@pytest.mark.parametrize("T", [1, 8])
-def test_qmm_groupdot_variant(T):
+@pytest.mark.parametrize("T,qt", [(1, QuantType.INT8), (8, QuantType.INT8),
+                                  (1, QuantType.INT4)])
+def test_qmm_groupdot_variant(T, qt):
     """Scale-after-dot experimental variant == standard kernel (1 bf16 ulp:
     it keeps scales in f32 where the standard path rounds them to bf16)."""
-    O, I = 512, 256
+    O, I = 512, 256 if qt == QuantType.INT8 else 1024
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.normal(size=(T, I)), jnp.bfloat16)
-    w = make_qweight(O, I, QuantType.INT8)
+    w = make_qweight(O, I, qt)
+    if qt == QuantType.INT4:
+        from fastllama_tpu.quant.groupquant import pack_int4_rows_np
+        w = QArray(jnp.asarray(pack_int4_rows_np(np.asarray(w.data))),
+                   w.scales, QuantType.INT4, 64, group_axis=-2, packed=True)
     ref = qmatmul_pallas(x, w, interpret=True).astype(jnp.float32)
     got = qmatmul_pallas(x, w, interpret=True,
                          groupdot=True).astype(jnp.float32)

@@ -26,16 +26,23 @@ from fastllama_tpu.ops.pallas.qmm import qmatmul_pallas
 from fastllama_tpu.quant.groupquant import QArray
 
 PEAK = float(os.environ.get("SWEEP_PEAK_GBS", "819"))
+QUANT = os.environ.get("SWEEP_QUANT", "int8")
 
 
-def bench_variant(I, O, T, iters, tiles, k_inner, gs=64, groupdot=False):
+def bench_variant(I, O, T, iters, tiles, k_inner, gs=64, groupdot=False,
+                  quant="int8"):
     rng = np.random.RandomState(0)
-    w = QArray(jnp.asarray(rng.randint(-127, 128, (I, O)), jnp.int8),
-               jnp.full((I // gs, O), 0.01, jnp.float32), None, gs,
-               group_axis=-2)
-    # work around QArray static qtype: build via quantize-like constructor
     from fastllama_tpu.config import QuantType
-    w = QArray(w.data, w.scales, QuantType.INT8, gs, -2, False)
+    if quant == "int4":
+        from fastllama_tpu.quant.groupquant import pack_int4_rows_np
+        q = rng.randint(-8, 8, (I, O)).astype(np.int8)
+        w = QArray(jnp.asarray(pack_int4_rows_np(q)),
+                   jnp.full((I // gs, O), 0.01, jnp.float32),
+                   QuantType.INT4, gs, -2, True)
+    else:
+        w = QArray(jnp.asarray(rng.randint(-127, 128, (I, O)), jnp.int8),
+                   jnp.full((I // gs, O), 0.01, jnp.float32),
+                   QuantType.INT8, gs, -2, False)
     x0 = jnp.asarray(rng.randn(T, I), jnp.bfloat16)
 
     def step(x, _):
@@ -59,7 +66,8 @@ def bench_variant(I, O, T, iters, tiles, k_inner, gs=64, groupdot=False):
     r = run(x0)
     r.block_until_ready()
     dt = time.perf_counter() - t0
-    gb = iters * (I * O + I * O // gs * 4) / 1e9
+    wbytes = I * O // 2 if quant == "int4" else I * O
+    gb = iters * (wbytes + I * O // gs * 4) / 1e9
     return gb / dt
 
 
@@ -94,7 +102,7 @@ def main():
                 continue
             try:
                 gbs = bench_variant(I, O, T, iters, tiles, ki,
-                                    groupdot=groupdot)
+                                    groupdot=groupdot, quant=QUANT)
             except Exception as e:          # noqa: BLE001 - sweep robustness
                 print(f"# {I}x{O} {label}: FAIL {type(e).__name__}",
                       file=sys.stderr)

@@ -73,7 +73,8 @@ def bench_single(cfg, params, n_tokens, chunk, prompt):
     return st.decode_tps, st.prefill_tps
 
 
-def bench_batched(cfg, params, n_tokens, chunk, prompt, batch, kv_dtype):
+def bench_batched(cfg, params, n_tokens, chunk, prompt, batch, kv_dtype,
+                  profile_dir=""):
     """Aggregate decode tok/s serving ``batch`` concurrent streams through
     the continuous-batching engine (a capability the reference lacks —
     it serves exactly one stream, transformer.cpp:76-103)."""
@@ -100,7 +101,16 @@ def bench_batched(cfg, params, n_tokens, chunk, prompt, batch, kv_dtype):
     for _ in range(batch):
         eng.submit(prompt, max_new_tokens=n_tokens + 1, temperature=0.0,
                    stop_tokens=())
-    eng.run()
+    if profile_dir:
+        # measured (post-compile) run only — tracing the warmup compile
+        # makes the file unreadably large
+        from fastllama_tpu.utils.profiling import trace
+        with trace(profile_dir):
+            eng.run()
+        print(f"# batched trace in {profile_dir} (tools/trace_ops.py)",
+              file=sys.stderr)
+    else:
+        eng.run()
     agg = eng.stats.aggregate_tps
     print(f"# aggregate decode {agg:.1f} tok/s over {batch} streams "
           f"({eng.stats.total_output_tokens} tokens, "
@@ -164,7 +174,8 @@ def main():
     qname = cfg.quant_type.name.lower()
     if batch > 1:
         agg = bench_batched(cfg, params, n_tokens - n_tokens % chunk or chunk,
-                            chunk, prompt, batch, kv_dtype)
+                            chunk, prompt, batch, kv_dtype,
+                            profile_dir and profile_dir + "_batched")
         kvtag = {"int8": "_kv8", "bfloat16": "", "float32": "_kvf32"}.get(
             kv_dtype, f"_{kv_dtype}")
         print(json.dumps({

@@ -216,3 +216,28 @@ def test_multihost_prefix_cache_spmd(tmp_path):
     assert hit.output_tokens == want
     assert eng.stats.prefix_hits == 1
     assert eng.stats.prefix_rows_reused == 16
+
+
+def test_multihost_qos(tmp_path):
+    """Host-local QoS in the lockstep engine: a priority-5 request jumps
+    the queue; a lapsed queued deadline rejects without running (same
+    contract as BatchedEngine, test_qos.py)."""
+    from fastllama_tpu.runtime.multihost import MultiHostEngine
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=CFG)
+    eng = MultiHostEngine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=1,
+                     compute_dtype="float32", mesh="data=1,model=2"),
+        decode_chunk=4)
+    lo1 = eng.submit([4, 5], max_new_tokens=2, stop_tokens=())
+    lo2 = eng.submit([4, 6], max_new_tokens=2, stop_tokens=())
+    hi = eng.submit([7, 8], max_new_tokens=2, stop_tokens=(), priority=5)
+    doomed = eng.submit([9, 10], max_new_tokens=2, stop_tokens=(),
+                        deadline_s=1e-9)
+    eng.run()
+    assert all(r.done for r in (lo1, lo2, hi))
+    assert hi.first_token_s < lo1.first_token_s < lo2.first_token_s
+    assert doomed.rejected and doomed.output_tokens == []
+    assert eng.stats.rejected == 1

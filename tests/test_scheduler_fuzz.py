@@ -156,3 +156,53 @@ def test_spec_batched_scheduler_matches_oracle(ckpt, oracle, trial):
             assert h.output_tokens == want, (
                 f"trial {trial}: spec-batched greedy request diverged "
                 f"(prompt len {len(spec['prompt'])})")
+
+
+@pytest.mark.parametrize("trial", range(2))
+def test_multihost_scheduler_matches_oracle(ckpt, oracle, trial):
+    """Same fuzz through the lockstep MultiHostEngine (single-process
+    degenerate, random data-axis width / spmd kernels / prefix cache /
+    priorities): greedy outputs must equal the single-stream oracle —
+    admission waves, hit waves, and QoS reordering may change WHEN a
+    request runs, never WHAT it generates."""
+    from fastllama_tpu.runtime.multihost import MultiHostEngine
+
+    c, t = ckpt
+    rng = np.random.default_rng(200 + trial)
+    reqs = _random_requests(rng, int(rng.integers(5, 10)))
+    for r in reqs:
+        r["priority"] = int(rng.integers(0, 3))
+    spmd = bool(rng.random() < 0.5)
+    mesh = "data=1,model=2"        # data axis must equal the process count
+    eng = MultiHostEngine.load(
+        c, t, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=128,
+                     max_batch_size=int(rng.integers(2, 5)),
+                     compute_dtype="float32", kv_dtype="float32",
+                     mesh=mesh, spmd_kernels=spmd,
+                     pallas_interpret=spmd,
+                     prefix_cache=bool(rng.random() < 0.5)),
+        decode_chunk=int(rng.integers(1, 9)))
+
+    handles = []
+    pending = list(reqs)
+    while pending or handles and not all(h.done for h in handles):
+        k = int(rng.integers(0, 4))
+        for spec in pending[:k]:
+            handles.append(eng.submit(**spec))
+        pending = pending[k:]
+        if not eng.step() and pending:
+            continue
+    eng.run()
+
+    for spec, h in zip(reqs, handles):
+        assert h.done
+        assert 1 <= len(h.output_tokens) <= spec["max_new_tokens"]
+        if spec["temperature"] == 0.0:
+            want, _ = oracle.generate(
+                spec["prompt"], max_new_tokens=spec["max_new_tokens"],
+                temperature=0.0, stop_tokens=spec["stop_tokens"],
+                decode_chunk=4)
+            assert h.output_tokens == want, (
+                f"trial {trial}: multihost greedy request diverged "
+                f"(mesh {mesh}, spmd={spmd})")

@@ -112,6 +112,9 @@ def serve_mode(args) -> int:
                       spmd_kernels=args.spmd_kernels,
                       qos_chunk=args.qos_chunk)
     if args.multihost:
+        if args.spec:
+            print("# --spec is not supported with --multihost yet; "
+                  "serving plain decode", file=sys.stderr)
         from fastllama_tpu.runtime.multihost import MultiHostEngine
         eng = MultiHostEngine.load(args.checkpoint, args.tokenizer,
                                    FileType.parse(args.file_type),

@@ -493,7 +493,11 @@ def make_attn_batched_flash(s_bound: int = 0, interpret: bool = False):
                 k_new=k_new, v_new=v_new)[:, :, 0]
         from fastllama_tpu.models.batched import _layer_slices
         ck_l, cv_l = _layer_slices(cache, layer, q.dtype)
-        return gqa_attention_decode_batched(q, ck_l, cv_l, k_new, v_new, pos)
+        # the cache may carry MORE slots than the step decodes (multi-host
+        # sink slot sits past the serving slots); row b = cache slot b
+        B = q.shape[0]
+        return gqa_attention_decode_batched(q, ck_l[:B], cv_l[:B],
+                                            k_new, v_new, pos)
 
     return attn_bidx
 

@@ -362,7 +362,14 @@ class BatchedEngine:
         """Longest block-aligned live prefix strictly shorter than the
         prompt (>= 1 tail token must remain to produce first logits).
         Hash hits are confirmed token-by-token against the DONOR's live
-        request before use — exactness is preserved."""
+        request before use — exactness is preserved.
+
+        A candidate is usable only if plen + bucket(tail) fits the context:
+        the tail prefill writes a full BUCKET of rows at start=plen, and
+        dynamic_update_slice would silently CLAMP an out-of-range start,
+        landing the tail rows over the copied prefix (misaligned KV,
+        silently wrong output).  Not monotone in plen (shorter prefix =>
+        longer tail => bigger bucket), so each candidate is checked."""
         BL = self._prefix_block
         top = (len(prompt) - 1) // BL
         hashes = self._prefix_hashes(prompt, BL)
@@ -372,7 +379,8 @@ class BatchedEngine:
             if slot is not None:
                 donor = self.slot_req[slot]
                 if donor is not None and \
-                        donor.prompt_tokens[:l] == prompt[:l]:
+                        donor.prompt_tokens[:l] == prompt[:l] and \
+                        l + self._bucket(len(prompt) - l) <= self.S:
                     return slot, l
         return None, 0
 

@@ -76,12 +76,11 @@ from fastllama_tpu.runtime.batching import BatchStats, Request
 # are followed by a per-bucket admission histogram (one wave runs per
 # bucket with any admissions fleet-wide, so one host's long prompt no
 # longer forces every host's wave into the big bucket)
-_PLAN_ADMIT = 0      # admissions this host wants this step (<= free slots)
-_PLAN_LIVE = 1       # 1 if host has live slots after admission
-_PLAN_KMAX = 2       # host's max safe decode-chunk length
-_PLAN_GREEDY = 3     # 1 if all of host's live requests are greedy
-_PLAN_MAXPOS = 4     # host's max live position (bounds the flash window)
-_PLAN_NFIX = 5
+_PLAN_LIVE = 0       # 1 if host has live slots after admission
+_PLAN_KMAX = 1       # host's max safe decode-chunk length
+_PLAN_GREEDY = 2     # 1 if all of host's live requests are greedy
+_PLAN_MAXPOS = 3     # host's max position after planned HIT admissions
+_PLAN_NFIX = 4       # then: NB full-prefill counts, NB prefix-hit counts
 
 # max admissions per host per wave.  Each distinct (wave width, bucket)
 # pair compiles its own prefill program; capping the width bounds the
@@ -504,7 +503,6 @@ class MultiHostEngine:
         plan = np.zeros(_PLAN_NFIX + 2 * NB, np.int32)
         free = [i for i, r in enumerate(self.slot_req) if r is None]
         take = min(len(free), len(self.queue), _ADMIT_CAP)
-        plan[_PLAN_ADMIT] = take
         # prefix hits plan into the SECOND bucket bank (counts by TAIL
         # bucket); the fleet runs max-over-hosts hit waves before the
         # full-prefill waves.  Hits are remembered so admission consumes
@@ -544,10 +542,24 @@ class MultiHostEngine:
             plan[_PLAN_KMAX] = max(1, kmax)
             plan[_PLAN_GREEDY] = int(all(
                 self.slot_req[i].temperature <= 0.0 for i in live))
-            plan[_PLAN_MAXPOS] = max(int(self.pos[i]) for i in live)
         else:
             plan[_PLAN_KMAX] = self.decode_chunk
             plan[_PLAN_GREEDY] = 1
+        # MAXPOS must upper-bound this host's max position AFTER the
+        # admissions this plan triggers, because every host derives the
+        # flash-window s_bound from the ALLGATHERED plans alone — mixing in
+        # host-local state (the old max(plans, self.pos.max())) let hosts
+        # compile DIFFERENT collective programs in the same lockstep round
+        # (a 1000-token admission on host A widened only A's s_bound:
+        # mismatched Pallas grids around the shard_map psums = hang).
+        # Hit admissions land at pos = full prompt length (exact, known
+        # here); full-prefill admissions are bounded by their wave's bucket,
+        # which step() adds from the shared bucket histograms.
+        maxpos = max((int(self.pos[i]) for i in live), default=0)
+        for hits in self._planned_hits.values():
+            for req, _donor, _plen in hits:
+                maxpos = max(maxpos, len(req.prompt_tokens))
+        plan[_PLAN_MAXPOS] = maxpos
         return plan
 
     def _admit_wave(self, a: int, bucket: int) -> None:
@@ -691,10 +703,14 @@ class MultiHostEngine:
                 self._admit_hit_wave(self._buckets[j], w)
 
         # one admission wave per bucket with fleet-wide demand, largest
-        # first (its requests have the least slack to spare)
+        # first (its requests have the least slack to spare); wave width
+        # padded to a power of two so (bucket, a) compile keys stay
+        # log2(_ADMIT_CAP)-bounded (sink rows make padding free), same as
+        # the single-host engine's _admit_pending
         for j in range(NB - 1, -1, -1):
             a = int(plans[:, _PLAN_NFIX + j].max())
             if a > 0:
+                a = min(1 << (a - 1).bit_length(), _ADMIT_CAP)
                 self._admit_wave(a, self._buckets[j])
 
         if not plans[:, _PLAN_LIVE].any():
@@ -704,12 +720,18 @@ class MultiHostEngine:
         K = 1 << (max(K, 1).bit_length() - 1)
         greedy = bool(plans[:, _PLAN_GREEDY].all())
         # bounded flash window: every host must compile the same s_bound,
-        # derived from the GLOBAL max position (fresh admissions included)
+        # so max_pos is derived from the ALLGATHERED plans ONLY (identical
+        # arithmetic on identical data on every host — never from
+        # host-local self.pos, see _local_plan's MAXPOS comment).  Plan
+        # MAXPOS covers live slots + hit admissions; full-prefill
+        # admissions are bounded by their wave's bucket.
         s_bound = 0
         if self._kb.attn_bidx_factory is not None:
             from fastllama_tpu.ops.pallas.flash_decode import round_bound
-            max_pos = max(int(plans[:, _PLAN_MAXPOS].max()),
-                          int(self.pos.max()))
+            max_pos = int(plans[:, _PLAN_MAXPOS].max())
+            for j in range(NB):
+                if plans[:, _PLAN_NFIX + j].max() > 0:
+                    max_pos = max(max_pos, self._buckets[j])
             s_bound = round_bound(max_pos + K, self.S)
 
         # fresh chunk keys: any uint32 pair is a valid threefry key; vary the

@@ -263,6 +263,12 @@ class SpecBatchedEngine(BatchedEngine):
         min_budget = min(self.slot_req[b].max_new_tokens
                          - len(self.slot_req[b].output_tokens) for b in live)
         R = min(self.R, room // D, max(1, min_budget // D))
+        if R >= 1:
+            # power-of-two bucketing, same reason as _plan_chunk's K: each
+            # distinct (R, s_bound, greedy) compiles its own R-round
+            # whole-model scan; draining budgets would otherwise sweep R
+            # through every integer
+            R = 1 << (R.bit_length() - 1)
         if R < 1:
             # near the context limit: plain chunks keep the contract
             K, greedy_only = self._plan_chunk(live)

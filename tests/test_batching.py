@@ -551,3 +551,42 @@ def test_prefix_cache_released_on_completion(tmp_path):
     eng.run()
     assert eng.stats.prefix_hits == 0
     assert r2.output_tokens == r1.output_tokens
+
+
+def test_prefix_hit_rejected_when_tail_bucket_overflows(tmp_path):
+    """A hit whose plen + bucket(tail) exceeds the context must fall back
+    to a full prefill: the tail prefill writes a full BUCKET of rows at
+    start=plen, and dynamic_update_slice silently CLAMPS an out-of-range
+    start — the tail rows would land over the copied prefix (misaligned
+    KV, silently wrong output).  Regression for the round-3 review."""
+    from fastllama_tpu.config import EngineConfig, ModelConfig
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    cfg = ModelConfig(dim=128, hidden_dim=256, n_layers=2, n_heads=8,
+                      n_kv_heads=4, vocab_size=512, max_seq_len=128,
+                      group_size=16)
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=cfg)
+    shared = [(i * 5) % 400 + 2 for i in range(16)]      # one shared block
+    donor_p = shared + [(i * 7) % 400 + 3 for i in range(104)]  # 120 tokens
+    # 120 tokens sharing ONLY the first block: tail 104 -> bucket 128,
+    # 16 + 128 = 144 > S=128 -> the hit must be refused
+    hit_p = shared + [(i * 11) % 400 + 5 for i in range(104)]
+
+    def run(prefix_cache):
+        eng = BatchedEngine.load(
+            ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+            EngineConfig(max_seq_len=128, max_batch_size=2,
+                         compute_dtype="float32",
+                         prefix_cache=prefix_cache), decode_chunk=4)
+        r1 = eng.submit(donor_p, max_new_tokens=7, temperature=0.0,
+                        stop_tokens=())
+        eng.step()                      # admit + register donor (stays live)
+        r2 = eng.submit(hit_p, max_new_tokens=4, temperature=0.0,
+                        stop_tokens=())
+        eng.run()
+        return r2.output_tokens, eng.stats
+
+    o_base, st_base = run(False)
+    o_pc, st_pc = run(True)
+    assert st_pc.prefix_hits == 0       # refused, not mis-admitted
+    assert o_pc == o_base

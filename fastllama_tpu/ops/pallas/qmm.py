@@ -17,6 +17,7 @@ stays in VMEM accumulating fp32 partial dots while weight K-tiles stream.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -30,8 +31,32 @@ from fastllama_tpu.quant.groupquant import QArray
 # full-K 4096 tile measured +4% decode and +19% prefill over 2048 on v5e)
 _TK_CANDIDATES = (4096, 2048, 1024, 512)
 _W_TILE_BYTES = 2 * 1024 * 1024
-_MAX_TO = 512
+# TO=1024 + k_inner=512 measured ~full HBM bandwidth on the decode-shaped
+# 4096x4096 stream (tools/qmm_sweep.py two-point sweep, v5e) vs 74% for the
+# round-2 TO=512 whole-tile dequant; env knobs keep the sweep cheap
+_MAX_TO = int(os.environ.get("FASTLLAMA_QMM_MAXTO", "512"))
 _MAX_TT = 256
+# default K sub-chunk for in-kernel dequant (0 = whole tile); applied to
+# unpacked int8/int16 tiles when the K tile is at least 2x the chunk
+_K_INNER = int(os.environ.get("FASTLLAMA_QMM_KI", "0"))
+
+
+def _auto_k_inner(k_inner: int, TK: int, gs: int) -> int:
+    """Resolve the k_inner default: explicit arg wins, else the env/module
+    default.  When the requested chunk doesn't evenly split the K tile
+    (e.g. the 11008 FFN contraction), fall back to the largest divisor of
+    TK that is a multiple of gs and <= the request, so the knob still
+    applies to irregular shapes."""
+    ki = k_inner if k_inner else _K_INNER
+    if not ki or ki >= TK:
+        return 0
+    if TK % ki == 0 and ki % gs == 0:
+        return ki
+    best = 0
+    for d in range(gs, min(ki, TK) + 1, gs):
+        if TK % d == 0:
+            best = d
+    return best
 
 
 def _qmm_chunk(x, w, s, gs: int, wide: bool):
@@ -257,7 +282,8 @@ def qmatmul_pallas(x: jax.Array, w: QArray, compute_dtype=jnp.bfloat16,
             or jnp.dtype(compute_dtype) == jnp.float32)
 
     kernel = functools.partial(_qmm_kernel, gs=gs, wide=wide,
-                               k_inner=k_inner, groupdot=groupdot)
+                               k_inner=_auto_k_inner(k_inner, TK, gs),
+                               groupdot=groupdot)
     out = pl.pallas_call(
         kernel,
         grid=(T // TT, O // TO, I // TK),
@@ -361,7 +387,8 @@ def _qmm_kernel_p4_idx(l_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref,
     o_ref[:] += acc
 
 
-def _qmm_kernel_idx(l_ref, x_ref, w_ref, s_ref, o_ref, *, gs: int, wide: bool):
+def _qmm_kernel_idx(l_ref, x_ref, w_ref, s_ref, o_ref, *, gs: int, wide: bool,
+                    k_inner: int = 0):
     """Layer-indexed variant: blocks carry a leading singleton layer axis."""
     k = pl.program_id(2)
 
@@ -371,23 +398,20 @@ def _qmm_kernel_idx(l_ref, x_ref, w_ref, s_ref, o_ref, *, gs: int, wide: bool):
 
     w = w_ref[0]
     s = s_ref[0]
-    TKg, TO = s.shape
-    scale = jnp.broadcast_to(s[:, None, :], (TKg, gs, TO)).reshape(TKg * gs, TO)
-    if wide:
-        wf = w.astype(jnp.float32) * scale
-        acc = jax.lax.dot_general(
-            x_ref[:].astype(jnp.float32), wf,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-    else:
-        # bf16 dequant: see _qmm_kernel
-        wf = w.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)
-        acc = jax.lax.dot_general(
-            x_ref[:].astype(jnp.bfloat16), wf,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    o_ref[:] += acc
+    TK = w.shape[0]
+    if k_inner and k_inner < TK and TK % k_inner == 0:
+        # chunked dequant (see _qmm_kernel_std): smaller VMEM intermediates
+        # leave room for deeper DMA double-buffering of the weight stream
+        acc = o_ref[:]
+        for j in range(TK // k_inner):
+            acc += _qmm_chunk(
+                x_ref[:, j * k_inner:(j + 1) * k_inner],
+                w[j * k_inner:(j + 1) * k_inner, :],
+                s[j * k_inner // gs:(j + 1) * k_inner // gs, :],
+                gs, wide)
+        o_ref[:] = acc
+        return
+    o_ref[:] += _qmm_chunk(x_ref[:], w, s, gs, wide)
 
 
 def supported_indexed(x: jax.Array, w) -> bool:
@@ -466,7 +490,8 @@ def qmatmul_pallas_indexed(x: jax.Array, w: QArray, layer,
     wide = (w.qtype == QuantType.INT16
             or jnp.dtype(compute_dtype) == jnp.float32)
 
-    kernel = functools.partial(_qmm_kernel_idx, gs=gs, wide=wide)
+    kernel = functools.partial(_qmm_kernel_idx, gs=gs, wide=wide,
+                               k_inner=_auto_k_inner(0, TK, gs))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T // TT, O // TO, I // TK),

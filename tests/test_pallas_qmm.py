@@ -133,3 +133,51 @@ def test_qmm_packed_int4_matches_unpacked():
         b = qmatmul_pallas_indexed(x, pkL, l, interpret=True)
         scale_ref = np.abs(np.asarray(a)).max()
         assert np.abs(np.asarray(a) - np.asarray(b)).max() < 2e-2 * scale_ref
+
+
+def test_qmm_k_inner_chunked_matches_whole_tile():
+    """In-kernel chunked dequant (k_inner) == whole-tile dequant for the
+    standard AND layer-indexed kernels.  Accumulation regroups (per-chunk
+    f32 partial dots summed) so allow a few bf16 ulps."""
+    import fastllama_tpu.ops.pallas.qmm as qmm_mod
+    from fastllama_tpu.ops.pallas.qmm import (qmatmul_pallas,
+                                              qmatmul_pallas_indexed)
+
+    rng = np.random.default_rng(7)
+    T, O, I = 4, 512, 1024
+    x = jnp.asarray(rng.normal(size=(T, I)), jnp.bfloat16)
+    w = make_qweight(O, I, QuantType.INT8)
+    ref = qmatmul_pallas(x, w, interpret=True).astype(jnp.float32)
+    got = qmatmul_pallas(x, w, interpret=True,
+                         k_inner=128).astype(jnp.float32)
+    denom = float(jnp.abs(ref).max())
+    assert float(jnp.abs(got - ref).max()) / denom < 5e-3
+
+    # layer-indexed kernel picks k_inner up from the module default
+    wL = QArray(jnp.stack([w.data, -w.data]), jnp.stack([w.scales, w.scales]),
+                QuantType.INT8, 64, group_axis=-2)
+    refs = [qmatmul_pallas_indexed(x, wL, l, interpret=True) for l in (0, 1)]
+    old = qmm_mod._K_INNER
+    qmm_mod._K_INNER = 128
+    try:
+        for l in (0, 1):
+            got = qmatmul_pallas_indexed(x, wL, l, interpret=True)
+            d = float(jnp.abs(got.astype(jnp.float32)
+                              - refs[l].astype(jnp.float32)).max())
+            assert d / denom < 5e-3
+    finally:
+        qmm_mod._K_INNER = old
+
+
+def test_auto_k_inner_divisor_fallback():
+    """_auto_k_inner: explicit arg wins; irregular TK falls back to the
+    largest gs-multiple divisor <= the request; degenerate -> 0."""
+    from fastllama_tpu.ops.pallas.qmm import _auto_k_inner
+
+    assert _auto_k_inner(512, 4096, 64) == 512       # clean split
+    assert _auto_k_inner(512, 4096, 64) % 64 == 0
+    assert _auto_k_inner(4096, 4096, 64) == 0        # >= TK: whole tile
+    assert _auto_k_inner(0, 2048, 64) in (0, 512)    # env default applies
+    # 1408 = 11*128: 512 doesn't divide; largest 64-multiple divisor <= 512
+    ki = _auto_k_inner(512, 1408, 64)
+    assert ki and 1408 % ki == 0 and ki % 64 == 0 and ki <= 512

@@ -7,10 +7,18 @@ normalize(qmm(x_i, w)) padded/sliced back to (T, I)) so the tunnel cannot
 dedupe dispatches and the weight stream repeats every step — the only
 microbenchmark shape that gives truthful numbers here (NEXT.md gotchas).
 
+Each scan runs in ONE dispatch, and the axon tunnel adds ~25 ms of fixed
+per-dispatch latency — at 64 iterations (~1.3 ms of real compute) that
+overhead is 95% of the wall time (measured 2026-08-17: 42 GB/s apparent vs
+~600 real).  So every variant is timed at BOTH iters and 2*iters and the
+bandwidth is computed from the DELTA, which cancels any fixed per-dispatch
+cost exactly.
+
 Run on the TPU:  python tools/qmm_sweep.py
 Env: SWEEP_SHAPES="4096x4096,4096x12288,11264x4096", SWEEP_T=1,
 SWEEP_ITERS=128, SWEEP_PEAK_GBS=819 (v5e chip).
 """
+import functools
 import json
 import os
 import sys
@@ -19,6 +27,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,18 +70,31 @@ def bench_variant(I, O, T, iters, tiles, k_inner, gs=64, groupdot=False,
             x = jnp.tile(y, (1, reps))[:, :I].astype(jnp.bfloat16)
         return x, ()
 
-    @jax.jit
-    def run(x):
-        x, _ = jax.lax.scan(step, x, length=iters)
+    @functools.partial(jax.jit, static_argnums=1)
+    def run(x, n):
+        x, _ = jax.lax.scan(step, x, length=n)
         return x
 
-    run(x0).block_until_ready()                       # compile
-    t0 = time.perf_counter()
-    r = run(x0)
-    r.block_until_ready()
-    dt = time.perf_counter() - t0
+    def timed(n):
+        run(x0, n).block_until_ready()                # compile + warm
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            run(x0, n).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # two-point: bandwidth from the iters->3*iters delta (cancels the
+    # tunnel's fixed per-dispatch latency); the wide 2*iters span keeps the
+    # delta well above dispatch jitter (~ms), which at a 1x span produced
+    # nonsense (same-config variants measured 97 vs 572 GB/s, and negative
+    # deltas reported as infinite bandwidth)
+    d1, d3 = timed(iters), timed(3 * iters)
+    dt = (d3 - d1) / 2
     wbytes = I * O // 2 if quant == "int4" else I * O
     gb = iters * (wbytes + I * O // gs * 4) / 1e9
+    if dt <= 0:
+        return float("nan")
     return gb / dt
 
 
@@ -105,6 +132,10 @@ def main():
                                     groupdot=groupdot, quant=QUANT)
             except Exception as e:          # noqa: BLE001 - sweep robustness
                 print(f"# {I}x{O} {label}: FAIL {type(e).__name__}",
+                      file=sys.stderr)
+                continue
+            if gbs != gbs:                  # NaN: negative delta = pure noise
+                print(f"# {I}x{O} {label}: NOISY (non-positive delta)",
                       file=sys.stderr)
                 continue
             eff = gbs / PEAK

@@ -76,11 +76,15 @@ def bench_variant(I, O, T, iters, tiles, k_inner, gs=64, groupdot=False,
         return x
 
     def timed(n):
-        run(x0, n).block_until_ready()                # compile + warm
+        # block_until_ready does NOT block through the axon tunnel
+        # (verified 2026-08-17 with a dependent-matmul calibration: 193.9
+        # TFLOP/s bf16 vs ~197 nameplate with a host fetch, "infinite"
+        # without one) — a scalar fetch is the only real sync
+        float(run(x0, n)[0, 0])                       # compile + warm
         best = float("inf")
         for _ in range(5):
             t0 = time.perf_counter()
-            run(x0, n).block_until_ready()
+            float(run(x0, n)[0, 0])
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -141,7 +141,11 @@ def main():
         cfg = cfg.replace(quant_type=QuantType.parse(quant))
     if cfg.quant_type == QuantType.INT4 and cfg.hidden_dim % 512:
         # split-half nibble packing needs a 512-aligned contraction
-        # (loaders pad real checkpoints the same way, registry.py)
+        # (loaders pad real checkpoints the same way, registry.py).
+        # Padding further to 1024 (for the 1024x1024 w2 decode tiling) is a
+        # measured NEGATIVE: XLA relayouts the padded (32,176,4096) w2
+        # scales with ~122us/step of async slices inside the decode loop,
+        # 95.8 -> 70.2 tok/s (profiled 2026-08-18, tools/trace_ops.py)
         cfg = cfg.replace(hidden_dim=-(-cfg.hidden_dim // 512) * 512)
 
     t0 = time.perf_counter()

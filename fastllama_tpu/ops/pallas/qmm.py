@@ -160,6 +160,17 @@ def _pick_tiles(T: int, O: int, I: int, gs: int, itemsize: int):
     half/quarter-K splits, else fall back to full-K tiles with a narrower
     TO."""
     TT = min(_MAX_TT, T)
+    # narrow-O decode-shaped streams (tiny T): 1024x1024 tiles measured
+    # fastest in the honest fetch-synced sweep on v5e (wo 4096x4096: 700 vs
+    # 661 GB/s for tk4096_to512; w2 11264x4096: 730 vs 623) — with few
+    # output tiles the full-K grid has too few steps to double-buffer, and
+    # the 1 MB tiles pipeline deeper.  Wide-O shapes already stream at the
+    # ceiling with full-K (fused QKV 4096x12288: 748 GB/s; fused gate-up
+    # 4096x22016: 775) and keep the default.
+    dtile = int(os.environ.get("FASTLLAMA_QMM_DECODE_TILE", "1024"))
+    if (dtile and T <= 8 and O <= 4096 and O % dtile == 0 and I % dtile == 0
+            and dtile % gs == 0 and (dtile // gs) % 8 == 0):
+        return TT, dtile, dtile
     for tk in _TK_CANDIDATES:
         if I % tk == 0 and tk % gs == 0 and (tk // gs) % 8 == 0:
             return TT, _pick_to(O, _MAX_TO), tk
@@ -276,6 +287,12 @@ def qmatmul_pallas(x: jax.Array, w: QArray, compute_dtype=jnp.bfloat16,
         return out.astype(x.dtype)
 
     TT, TO, TK = tiles or _pick_tiles(T, O, I, gs, w.data.dtype.itemsize)
+    if tiles and (T % TT or O % TO or I % TK):
+        # a non-dividing explicit tiling silently TRUNCATES the grid
+        # (computes a subset of the contraction and reads fewer bytes) —
+        # this produced impossible >100%-of-peak rows in qmm_sweep before
+        # the guard
+        raise ValueError(f"tiles {tiles} do not divide ({T}, {O}, {I})")
     # INT16 values overflow bf16's mantissa; an explicit fp32 compute_dtype
     # also gets the full-precision path (parity with the jnp fallback)
     wide = (w.qtype == QuantType.INT16
@@ -308,6 +325,37 @@ def qmatmul_pallas(x: jax.Array, w: QArray, compute_dtype=jnp.bfloat16,
     return out.astype(x.dtype)
 
 
+# nibble-unpack strategy for packed INT4 (VPU-bound; the decode wall):
+#   int32 - convert to int32 lanes, 2 shifts per plane (the round-2 default;
+#           int8-lane shifts do NOT legalize in Mosaic - tpu_smoke caught it)
+#   int16 - shifts in int16 lanes: packed 2x lane density, half the shift
+#           cycles IF Mosaic legalizes 16-bit shifts on the target
+#   f32   - no shifts: hi = floor(p/16) (exact for |p|<2^24), lo from the
+#           remainder; skips the intN->f32 converts and shares hi between
+#           planes
+_INT4_UNPACK = os.environ.get("FASTLLAMA_INT4_UNPACK", "int32")
+
+
+def _unpack_planes(p8):
+    """(w_lo, w_hi) sign-extended nibble planes ([-8,7]) from the packed
+    int8 tile, as f32 (ready for the scale multiply)."""
+    mode = _INT4_UNPACK
+    if mode == "int16":
+        p = p8.astype(jnp.int16)
+        lo = ((p << 12) >> 12).astype(jnp.float32)
+        hi = (p >> 4).astype(jnp.float32)
+        return lo, hi
+    if mode == "f32":
+        pf = p8.astype(jnp.float32)               # [-128, 127], integral
+        hi = jnp.floor(pf * 0.0625)               # == p >> 4 (floor div 16)
+        lo_u = pf - hi * 16.0                     # [0, 15]
+        lo = lo_u - jnp.where(lo_u >= 8.0, 16.0, 0.0)
+        return lo, hi
+    p = p8.astype(jnp.int32)
+    return (((p << 28) >> 28).astype(jnp.float32),
+            ((p << 24) >> 28).astype(jnp.float32))
+
+
 def _qmm_kernel_p4(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, *,
                    gs: int, groupdot: bool = False):
     """Split-half packed INT4: the packed tile's low nibbles are logical K
@@ -320,13 +368,10 @@ def _qmm_kernel_p4(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, *,
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    # int32 shifts: Mosaic cannot legalize arith.shli on int8 vectors on
-    # real TPUs (caught by tools/tpu_smoke.py; interpret mode accepts it)
-    p = w_ref[:].astype(jnp.int32)                # (TKp, TO)
+    planes = _unpack_planes(w_ref[:])             # (TKp, TO) f32 x2
     acc = jnp.zeros_like(o_ref)
-    for shift, x_ref, s_ref in ((28, x_lo_ref, s_lo_ref),
-                                (24, x_hi_ref, s_hi_ref)):
-        w = (p << shift) >> 28                    # sign-extended nibbles
+    for w, x_ref, s_ref in ((planes[0], x_lo_ref, s_lo_ref),
+                            (planes[1], x_hi_ref, s_hi_ref)):
         s = s_ref[:]                              # (TKp//gs, TO)
         if groupdot:
             # scale-after-dot (see _qmm_chunk_groupdot): skip the scale
@@ -340,7 +385,7 @@ def _qmm_kernel_p4(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, *,
         # f32 dequant: the bf16-scale variant measured SLOWER here (96.7 vs
         # 105.9 tok/s int4 7B single-stream) — int32->bf16 conversion is the
         # expensive step, and int32->f32 is the cheap one on the VPU
-        wf = (w.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        wf = (w * scale).astype(jnp.bfloat16)
         acc += jax.lax.dot_general(
             x_ref[:].astype(jnp.bfloat16), wf,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -348,11 +393,11 @@ def _qmm_kernel_p4(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, *,
     o_ref[:] += acc
 
 
-def _groupdot_p4(x, w_i32, s, gs: int):
-    """Scale-after-dot for one unpacked nibble plane: w_i32 (TKp, TO)."""
+def _groupdot_p4(x, w_f32, s, gs: int):
+    """Scale-after-dot for one unpacked nibble plane: w_f32 (TKp, TO)."""
     TKg, TO = s.shape
     TT = x.shape[0]
-    wg = w_i32.astype(jnp.float32).astype(jnp.bfloat16).reshape(TKg, gs, TO)
+    wg = w_f32.astype(jnp.bfloat16).reshape(TKg, gs, TO)
     xg = jnp.transpose(x.astype(jnp.bfloat16).reshape(TT, TKg, gs),
                        (1, 0, 2))                  # (TKg, TT, gs)
     part = jax.lax.dot_general(
@@ -370,16 +415,15 @@ def _qmm_kernel_p4_idx(l_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref,
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    p = w_ref[0].astype(jnp.int32)
+    planes = _unpack_planes(w_ref[0])
     acc = jnp.zeros_like(o_ref)
-    for shift, x_ref, s_ref in ((28, x_lo_ref, s_lo_ref),
-                                (24, x_hi_ref, s_hi_ref)):
-        w = (p << shift) >> 28
+    for w, x_ref, s_ref in ((planes[0], x_lo_ref, s_lo_ref),
+                            (planes[1], x_hi_ref, s_hi_ref)):
         s = s_ref[0]
         TKg, TO = s.shape
         scale = jnp.broadcast_to(s[:, None, :],
                                  (TKg, gs, TO)).reshape(TKg * gs, TO)
-        wf = (w.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        wf = (w * scale).astype(jnp.bfloat16)
         acc += jax.lax.dot_general(
             x_ref[:].astype(jnp.bfloat16), wf,
             dimension_numbers=(((1,), (0,)), ((), ())),

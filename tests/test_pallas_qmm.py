@@ -25,6 +25,7 @@ def make_qweight(O, I, qt, seed=0):
     (1, 512, 256, QuantType.INT16),
     (4, 256, 128, QuantType.INT4),
     (1, 256, 1408, QuantType.INT8),     # full-K fallback (1408 = 11*128)
+    (1, 1024, 2048, QuantType.INT8),    # narrow-O decode 1024x1024 tiling
 ])
 def test_qmm_matches_jnp(T, O, I, qt):
     rng = np.random.default_rng(1)
@@ -181,3 +182,40 @@ def test_auto_k_inner_divisor_fallback():
     # 1408 = 11*128: 512 doesn't divide; largest 64-multiple divisor <= 512
     ki = _auto_k_inner(512, 1408, 64)
     assert ki and 1408 % ki == 0 and ki % 64 == 0 and ki <= 512
+
+
+@pytest.mark.parametrize("mode", ["int16", "f32"])
+def test_int4_unpack_modes_identical(mode):
+    """All nibble-unpack strategies (int32 shifts / int16 shifts / f32
+    floor-div) must produce BIT-IDENTICAL results: they feed the same
+    bf16 dequant + MXU dot, so any difference is an unpack bug."""
+    import fastllama_tpu.ops.pallas.qmm as qmm_mod
+    from fastllama_tpu.ops.pallas.qmm import (qmatmul_pallas,
+                                              qmatmul_pallas_indexed)
+    from fastllama_tpu.quant.groupquant import pack_int4_rows_np, quantize_np
+
+    rng = np.random.default_rng(11)
+    w = rng.standard_normal((1024, 256)).astype(np.float32)
+    d, s = quantize_np(w.T, QuantType.INT4, 64)
+    d, s = d.T.copy(), s.T.copy()
+    pk = QArray(jnp.asarray(pack_int4_rows_np(d)), jnp.asarray(s),
+                QuantType.INT4, 64, group_axis=-2, packed=True)
+    x = jnp.asarray(rng.standard_normal((8, 1024)).astype(np.float32))
+    pkL = QArray(jnp.asarray(pack_int4_rows_np(np.stack([d, -d]))),
+                 jnp.asarray(np.stack([s, s])), QuantType.INT4, 64,
+                 group_axis=-2, packed=True)
+    old = qmm_mod._INT4_UNPACK
+    try:
+        qmm_mod._INT4_UNPACK = "int32"
+        ref = np.asarray(qmatmul_pallas(x, pk, interpret=True))
+        refL = [np.asarray(qmatmul_pallas_indexed(x, pkL, l, interpret=True))
+                for l in (0, 1)]
+        qmm_mod._INT4_UNPACK = mode
+        got = np.asarray(qmatmul_pallas(x, pk, interpret=True))
+        np.testing.assert_array_equal(got, ref)
+        for l in (0, 1):
+            np.testing.assert_array_equal(
+                np.asarray(qmatmul_pallas_indexed(x, pkL, l, interpret=True)),
+                refL[l])
+    finally:
+        qmm_mod._INT4_UNPACK = old

@@ -47,16 +47,22 @@ def bench_variant(I, O, T, iters, tiles, k_inner, gs=64, groupdot=False,
                   quant="int8"):
     rng = np.random.RandomState(0)
     from fastllama_tpu.config import QuantType
+    # weights generated ON DEVICE (key as a traced arg — a constant key
+    # would be constant-folded on the host): uploading 90-131 MB through
+    # the tunnel per variant dominated the sweep's wall time
+    key = jax.random.PRNGKey(0)
     if quant == "int4":
-        from fastllama_tpu.quant.groupquant import pack_int4_rows_np
-        q = rng.randint(-8, 8, (I, O)).astype(np.int8)
-        w = QArray(jnp.asarray(pack_int4_rows_np(q)),
-                   jnp.full((I // gs, O), 0.01, jnp.float32),
+        # packed wire format: two int4 values per int8 lane, any byte works
+        data = jax.jit(lambda k: jax.random.randint(
+            k, (I // 2, O), -128, 128, jnp.int32).astype(jnp.int8))(key)
+        w = QArray(data, jnp.full((I // gs, O), 0.01, jnp.float32),
                    QuantType.INT4, gs, -2, True)
     else:
-        w = QArray(jnp.asarray(rng.randint(-127, 128, (I, O)), jnp.int8),
-                   jnp.full((I // gs, O), 0.01, jnp.float32),
+        data = jax.jit(lambda k: jax.random.randint(
+            k, (I, O), -127, 128, jnp.int32).astype(jnp.int8))(key)
+        w = QArray(data, jnp.full((I // gs, O), 0.01, jnp.float32),
                    QuantType.INT8, gs, -2, False)
+    jax.block_until_ready(data)   # dispatch before timing (cheap; see timed)
     x0 = jnp.asarray(rng.randn(T, I), jnp.bfloat16)
 
     def step(x, _):
@@ -112,7 +118,7 @@ def main():
         variants = [("auto", None, 0)]
         for tk in (4096, 2048, 1024, 512):
             if I % tk == 0 and (tk // 64) % 8 == 0:
-                for to in (1024, 512, 256):
+                for to in (1024, 640, 512, 256):
                     if O % to == 0:
                         variants.append((f"tk{tk}_to{to}", (min(256, T), to, tk), 0))
         variants += [("auto_ki512", None, 512), ("auto_ki1024", None, 1024),

@@ -52,7 +52,13 @@ def drive(eng, prompt, batch, n_tokens):
     for _ in range(batch):
         eng.submit(prompt, max_new_tokens=n_tokens + 1, temperature=0.0,
                    stop_tokens=())
-    eng.run()
+    prof = os.environ.get("AB_PROFILE", "")
+    if prof:
+        from fastllama_tpu.utils.profiling import trace
+        with trace(prof):
+            eng.run()
+    else:
+        eng.run()
     return eng.stats.aggregate_tps
 
 
@@ -103,8 +109,14 @@ def main():
                                            mesh="data=1,model=1"),
                               decode_chunk=chunk)
     tps = drive(eng, prompt, batch, n_tokens)
+    st = eng.stats
     print(json.dumps({"config": name, "engine": which, "batch": batch,
-                      "tok_s": round(tps, 1)}))
+                      "tok_s": round(tps, 1),
+                      "decode_s": round(st.decode_s, 3),
+                      "prefill_s": round(st.prefill_s, 3),
+                      "decode_tokens": st.decode_tokens,
+                      "output_tokens": st.total_output_tokens,
+                      "completed": st.completed}))
 
 
 if __name__ == "__main__":

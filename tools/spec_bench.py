@@ -45,6 +45,12 @@ CONFIGS = {
 
 
 def run(engine_like, prompt, n, label):
+    # warmup: compiles prefill/decode/draft/verify outside the measurement
+    # (without it the first generate's decode_s is dominated by tunnel
+    # compiles - the 2026-08-18 pre-warmup sweep read plain 7B at 35 tok/s
+    # vs its true 96)
+    engine_like.generate(prompt, max_new_tokens=n, temperature=0.0,
+                         stop_tokens=())
     t0 = time.perf_counter()
     toks, st = engine_like.generate(prompt, max_new_tokens=n,
                                     temperature=0.0, stop_tokens=())
@@ -65,7 +71,8 @@ def main():
     n = int(os.environ.get("SPEC_TOKENS", "256"))
     width = int(os.environ.get("SPEC_WIDTH", "8"))
     layer_list = [int(x) for x in
-                  os.environ.get("SPEC_DRAFT_LAYERS", "4,8").split(",")]
+                  os.environ.get("SPEC_DRAFT_LAYERS", "4,8").split(",")
+                  if x.strip()]
     cfg = CONFIGS[name]
     tok = Tokenizer().finalize()
 
@@ -78,7 +85,15 @@ def main():
     ec = EngineConfig(max_seq_len=cfg.max_seq_len, kv_dtype="bfloat16",
                       fuse_weights=False)
     target = Engine(cfg, params, tok, ec)
-    prompt = list(range(1, 44))
+    # prompt modes: "random" = arbitrary distinct ids (worst case for the
+    # n-gram drafter, alpha ~ 0); "loop" = a short repeated pattern, which
+    # greedy continuation on most checkpoints extends periodically - the
+    # n-gram prompt-lookup drafter then accepts nearly every draft
+    # (alpha -> 1), measuring the high end of the alpha-throughput curve
+    if os.environ.get("SPEC_PROMPT_MODE", "random") == "loop":
+        prompt = ([7, 121, 3088, 59] * 11)[:43]
+    else:
+        prompt = list(range(1, 44))
 
     results = [run(target, prompt, n, "plain")]
 

@@ -241,3 +241,33 @@ def test_multihost_qos(tmp_path):
     assert hi.first_token_s < lo1.first_token_s < lo2.first_token_s
     assert doomed.rejected and doomed.output_tokens == []
     assert eng.stats.rejected == 1
+
+
+def test_multihost_admission_fills_before_first_chunk(tmp_path):
+    """A cold backlog larger than _ADMIT_CAP must be admitted with
+    back-to-back waves in ONE lockstep round — BEFORE the first decode
+    chunk runs.  The one-wave-per-round cap left slots filling across
+    chunks (33% average occupancy, measured 839 vs 2514 tok/s on chip)."""
+    from fastllama_tpu.runtime import multihost as mh
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=CFG)
+    eng = mh.MultiHostEngine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=2 * mh._ADMIT_CAP + 3,
+                     compute_dtype="float32", mesh="data=1,model=1"),
+        decode_chunk=4)
+    n = 2 * mh._ADMIT_CAP + 3                    # needs 3 waves (8+8+4 pads)
+    for i in range(n):
+        # max_new 12 > prefill-emit + one K=4 chunk so no slot completes
+        # (and frees) inside the first round
+        eng.submit([3, 5 + i, 7], max_new_tokens=12, temperature=0.0,
+                   stop_tokens=())
+    assert eng.step()                            # ONE lockstep round
+    live = sum(r is not None for r in eng.slot_req)
+    assert live == n, f"only {live}/{n} slots live after one round"
+    assert not eng.queue
+    # and the engine still completes everything
+    while eng.step():
+        pass
+    assert eng.stats.completed == n

@@ -295,8 +295,10 @@ class SpecBatchedEngine(BatchedEngine):
             self.params, self.cache, jnp.asarray(self.pending),
             jnp.asarray(self.pos), self._hist, self._keys,
             jnp.asarray(self.temps), jnp.asarray(self.topps))
-        gs_np = np.asarray(gs)                        # (R, B, D)
-        accs_np = np.asarray(accs)                    # (R, B)
+        # ONE host round trip for everything the scheduler needs: through
+        # the tunnel each fetch is a full RT, and spec chunks are ~8x
+        # shorter than plain ones so per-chunk host time bites ~8x harder
+        gs_np, accs_np, pend_np = jax.device_get((gs, accs, pend_dev))
         self.stats.decode_s += time.perf_counter() - t0
 
         for b in live:
@@ -313,7 +315,7 @@ class SpecBatchedEngine(BatchedEngine):
         # mirror device positions, park freed/idle slots
         adv = accs_np.sum(axis=0) + R                 # (B,)
         self.pos = np.minimum(self.pos + adv.astype(np.int32), self.S - 1)
-        self.pending = np.asarray(pend_dev).astype(np.int32)
+        self.pending = pend_np.astype(np.int32)
         for b in range(self.B):
             if self.slot_req[b] is None:
                 self.pos[b] = 0

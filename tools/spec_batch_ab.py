@@ -55,7 +55,13 @@ def drive(eng, prompt, batch, n_tokens):
     for _ in range(batch):
         eng.submit(prompt, max_new_tokens=n_tokens + 1, temperature=0.0,
                    stop_tokens=())
-    eng.run()
+    prof = os.environ.get("SB_PROFILE", "")
+    if prof:
+        from fastllama_tpu.utils.profiling import trace
+        with trace(prof):
+            eng.run()
+    else:
+        eng.run()
     return eng.stats.aggregate_tps
 
 
@@ -84,7 +90,9 @@ def main():
         del eng
     if which in ("both", "spec"):
         from fastllama_tpu.runtime.spec_batching import SpecBatchedEngine
-        eng = SpecBatchedEngine(cfg, params, tok, ec, width=width)
+        eng = SpecBatchedEngine(cfg, params, tok, ec, width=width,
+                                rounds_per_chunk=int(
+                                    os.environ.get("SB_ROUNDS", "8")))
         out["spec_tok_s"] = round(drive(eng, prompt, batch, n_tokens), 1)
         out["acceptance"] = round(eng.acceptance, 3)
         del eng

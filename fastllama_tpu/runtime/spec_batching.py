@@ -95,6 +95,13 @@ class SpecBatchedEngine(BatchedEngine):
         # device-resident per-slot token history (prompt + emitted tokens,
         # including the pending one); length = pos + 1 for live slots
         self._hist = jnp.zeros((self.B, self.S + width + 1), jnp.int32)
+        # device-resident scheduler state between chunks: pending/pos come
+        # back from every chunk and temps/topps only change on admission,
+        # so in the steady full-occupancy phase no per-chunk uploads are
+        # needed (each device_put is a full tunnel round trip)
+        self._io_dirty = True
+        self._pend_dev = self._pos_dev = None
+        self._temps_dev = self._topps_dev = None
         self._spec_fns = {}
         self._attn_sbidx_factory = None
         self._spec_writer = None
@@ -252,6 +259,7 @@ class SpecBatchedEngine(BatchedEngine):
                  if r is not None and not before[b]]
         if newly:
             self._write_history(newly)
+            self._io_dirty = True
 
         live = self._live_slots()
         if not live:
@@ -282,6 +290,7 @@ class SpecBatchedEngine(BatchedEngine):
             self._apply_chunk(toks_np, K, live)
             # plain chunks don't maintain the history; resync live slots
             self._resync_history()
+            self._io_dirty = True
             return bool(self.queue) or bool(self._live_slots())
 
         s_bound = 0
@@ -291,10 +300,14 @@ class SpecBatchedEngine(BatchedEngine):
 
         t0 = time.perf_counter()
         fn = self._get_spec_chunk(R, s_bound, greedy)
+        if self._io_dirty or self._pend_dev is None:
+            self._pend_dev = jnp.asarray(self.pending)
+            self._pos_dev = jnp.asarray(self.pos)
+            self._temps_dev = jnp.asarray(self.temps)
+            self._topps_dev = jnp.asarray(self.topps)
         gs, accs, self.cache, self._hist, pend_dev, pos_dev, self._keys = fn(
-            self.params, self.cache, jnp.asarray(self.pending),
-            jnp.asarray(self.pos), self._hist, self._keys,
-            jnp.asarray(self.temps), jnp.asarray(self.topps))
+            self.params, self.cache, self._pend_dev, self._pos_dev,
+            self._hist, self._keys, self._temps_dev, self._topps_dev)
         # ONE host round trip for everything the scheduler needs: through
         # the tunnel each fetch is a full RT, and spec chunks are ~8x
         # shorter than plain ones so per-chunk host time bites ~8x harder
@@ -316,10 +329,17 @@ class SpecBatchedEngine(BatchedEngine):
         adv = accs_np.sum(axis=0) + R                 # (B,)
         self.pos = np.minimum(self.pos + adv.astype(np.int32), self.S - 1)
         self.pending = pend_np.astype(np.int32)
+        freed = False
         for b in range(self.B):
             if self.slot_req[b] is None:
+                freed = freed or (self.pos[b] != 0 or self.pending[b] != 0)
                 self.pos[b] = 0
                 self.pending[b] = 0
+        if freed:
+            self._io_dirty = True                 # host parked slots
+        else:
+            self._pend_dev, self._pos_dev = pend_dev, pos_dev
+            self._io_dirty = False
         return bool(self.queue) or bool(self._live_slots())
 
     def _resync_history(self) -> None:

@@ -144,6 +144,17 @@ class EngineConfig:
     fuse_weights: bool = True
     parity_mode: bool = False           # bit-faithful reference math (act-quant int dot)
     donate_cache: bool = True
+    # deferred staged-KV decode chunks (BatchedEngine): fresh K/V rows of a
+    # whole K-step decode chunk accumulate in a small exact-tile staging
+    # buffer and land in the big cache with ONE spec_write per chunk,
+    # instead of one slab read-modify-write per slot per layer per step
+    # (int8 sublane tiling makes a single-row cache write rewrite a 32-row
+    # slab — measured ~1.5 ms/step of pure slab traffic at serving batch).
+    # Attention composes cache + staged + fresh exactly as the sequential
+    # path would see them (models/batched.decode_step_deferred); outputs
+    # differ only in float rounding (softmax-merge order).  Needs the
+    # flash-attention Pallas path; silently falls back per-chunk otherwise.
+    deferred_kv: bool = False
     # QoS (batched/multi-host engines): while requests are QUEUED behind a
     # full batch, cap decode chunks at this many steps (power of two) so a
     # slot freed mid-chunk reaches the next admission point sooner —

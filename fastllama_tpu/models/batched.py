@@ -604,3 +604,190 @@ def decode_step(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array,
     x = rmsnorm(x, params.out_norm, cfg.norm_eps)
     logits = mm(x, params.classifier)                               # (B, V)
     return logits.astype(jnp.float32), new_cache
+
+
+def make_staged(cfg: ModelConfig, cache: BatchedKVCache, B: int, K: int):
+    """Empty staging buffers for a K-step deferred decode chunk.
+
+    Layout (L, B, K, n_kv, hs): the per-step update slice
+    ``staged[:, :, s]`` covers the FULL trailing (n_kv, hs) tile, so XLA
+    writes exactly the fresh bytes in place — no sublane read-modify-write.
+    The cache layout (L, B, n_kv, S, hs) can't do that: its int8 sublane
+    tiling (32 rows/slab) makes any single-row write rewrite a whole slab
+    per slot per layer — measured ~1.5 ms/step of pure slab traffic at
+    serving batch (the motivation: amortize it to ONE spec_write landing
+    per chunk; NEXT.md round-4 #4)."""
+    L, hs, n_kv = cfg.n_layers, cfg.head_size, cfg.n_kv_heads
+    sk = jnp.zeros((L, B, K, n_kv, hs), cache.k.dtype)
+    sv = jnp.zeros((L, B, K, n_kv, hs), cache.v.dtype)
+    if cache.quantized:
+        return (sk, sv,
+                jnp.zeros((L, B, K, n_kv), cache.k_scale.dtype),
+                jnp.zeros((L, B, K, n_kv), cache.v_scale.dtype))
+    return (sk, sv)
+
+
+def land_staged(cache: BatchedKVCache, staged, pos0: jax.Array,
+                spec_writer: Callable) -> BatchedKVCache:
+    """Land a chunk's staged rows: slot b's K rows go to cache positions
+    [pos0[b], pos0[b]+K) via spec_write launches of at most 8 rows each
+    (all inside the chunk's jit — no extra dispatches).  D=8 is the
+    measured-safe spec_write shape: the kernel blends one fresh row per
+    unrolled step, and a D=16 unroll blew Mosaic's 16 MB scoped-vmem STACK
+    at 7B/110m shapes (22 MB of live slab temporaries).  Each landing
+    read-modify-writes at most two slabs per slot per layer, so a K-step
+    chunk pays ~K/4 slab passes total vs K*1 for per-step writes.  The
+    transposes to the writer's (L, B, n_kv, D, hs) layout are contiguous
+    passes over the small staging buffers (~6 MB/step amortized at B=48)."""
+    if cache.quantized:
+        sk, sv, sks, svs = staged
+    else:
+        sk, sv = staged
+        sks = svs = None
+    K = sk.shape[2]
+    D0 = min(8, K)
+    for i in range(0, K, D0):
+        d = min(D0, K - i)
+        cache = spec_writer(
+            cache,
+            sk[:, :, i:i + d].transpose(0, 1, 3, 2, 4),
+            sv[:, :, i:i + d].transpose(0, 1, 3, 2, 4),
+            None if sks is None else sks[:, :, i:i + d].transpose(0, 1, 3, 2),
+            None if svs is None else svs[:, :, i:i + d].transpose(0, 1, 3, 2),
+            pos0 + i)
+    return cache
+
+
+def decode_step_deferred(cfg: ModelConfig, params: LlamaParams,
+                         tokens: jax.Array, pos0: jax.Array, step_s,
+                         staged, cache: BatchedKVCache, *,
+                         mm: Callable = qmatmul,
+                         mm_idx: Optional[Callable] = None,
+                         attn_stats: Optional[Callable] = None,
+                         compute_dtype=jnp.float32):
+    """One decode token for every slot with chunk-deferred cache writes.
+
+    Same math as :func:`decode_step`, but the fresh K/V rows of the whole
+    chunk live in the ``staged`` buffers (see :func:`make_staged`) instead
+    of being slab-written into the cache every step: ``pos0`` (B,) are the
+    CHUNK-start positions (fixed for all K steps), ``step_s`` is the step
+    index inside the chunk, and attention composes three pieces exactly as
+    the sequential path would see them:
+
+    * cache rows [0, pos0[b]) — the flash kernel, strict mask, returning
+      its online-softmax (max, sum) stats;
+    * staged rows [0, step_s) — the chunk's earlier tokens, attended in
+      their CACHE dtype (int8 values x scale, dequantized here), exactly
+      what a sequential step would read back from the cache;
+    * the current fresh row — merged in full precision inside the kernel
+      (same as decode_step's ``fresh`` path).
+
+    The softmax merge of the kernel partial and the staged partial is
+    exact (associativity of online softmax); only float rounding differs
+    from the sequential path.  Returns (logits, staged') — the CACHE is
+    untouched; the engine lands the whole chunk with :func:`land_staged`.
+    """
+    from fastllama_tpu.ops.attention import NEG_INF
+    from fastllama_tpu.quant.groupquant import quantize_rows
+    B = tokens.shape[0]
+    hs, n_heads, n_kv = cfg.head_size, cfg.n_heads, cfg.n_kv_heads
+    hgs = n_heads // n_kv
+    proj = _make_proj(mm, mm_idx, compute_dtype)
+    quant = cache.quantized
+    if quant:
+        sk, sv, sks, svs = staged
+    else:
+        sk, sv = staged
+    Kp = sk.shape[2]
+    scale = 1.0 / float(hs) ** 0.5
+    tmask = (jnp.arange(Kp, dtype=jnp.int32) < step_s)[None, None, None]
+
+    pos = pos0 + step_s
+    x = embed_tokens(params.embedding, tokens, compute_dtype)       # (B, dim)
+    cos, sin = rope_tables(cfg, pos, compute_dtype)
+
+    def scan_fn(x, layer):
+        l, attn_norm_l, ffn_norm_l = layer
+
+        h = rmsnorm(x, attn_norm_l, cfg.norm_eps)
+        q, k, v = _split_qkv(cfg, params, proj, h, l)
+        q = q.reshape(B, n_heads, hs)
+        k = k.reshape(B, n_kv, hs)
+        v = v.reshape(B, n_kv, hs)
+        q = apply_rope_half(q, cos[:, None], sin[:, None])
+        k = apply_rope_half(k, cos[:, None], sin[:, None])
+
+        # cache part + own fresh row (full precision), with softmax stats
+        o1, m1, l1 = attn_stats(q, cache, pos0, l, k, v)
+        o1 = o1.reshape(B, n_kv, hgs, hs).astype(jnp.float32)
+
+        # staged part: this chunk's earlier rows, attended in cache dtype
+        # (int8 values * scale — the same numbers a sequential step reads
+        # back), masked to [0, step_s)
+        sk_l = jax.lax.dynamic_index_in_dim(sk, l, 0, keepdims=False)
+        sv_l = jax.lax.dynamic_index_in_dim(sv, l, 0, keepdims=False)
+        qf = q.reshape(B, n_kv, hgs, hs).astype(jnp.float32)
+        s2 = jnp.einsum("bngh,bknh->bngk", qf, sk_l.astype(jnp.float32),
+                        preferred_element_type=jnp.float32) * scale
+        if quant:
+            # fold K scales after the dot, like the kernel's score lanes
+            sks_l = jax.lax.dynamic_index_in_dim(sks, l, 0, keepdims=False)
+            s2 = s2 * sks_l.transpose(0, 2, 1)[:, :, None, :]
+        s2 = jnp.where(tmask, s2, NEG_INF)
+        m2 = jnp.max(s2, axis=-1, keepdims=True)        # (B, n_kv, hgs, 1)
+        e = jnp.where(tmask, jnp.exp(s2 - m2), 0.0)     # zero when empty
+        l2 = jnp.sum(e, axis=-1, keepdims=True)
+        if quant:
+            svs_l = jax.lax.dynamic_index_in_dim(svs, l, 0, keepdims=False)
+            e = e * svs_l.transpose(0, 2, 1)[:, :, None, :]
+        acc2 = jnp.einsum("bngk,bknh->bngh", e, sv_l.astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+
+        # exact online-softmax merge of the two partials
+        m1e = m1[..., None]                             # (B, n_kv, hgs, 1)
+        mm_ = jnp.maximum(m1e, m2)
+        w1 = l1[..., None] * jnp.exp(m1e - mm_)
+        w2 = jnp.exp(m2 - mm_)                          # 0 when no staged rows
+        o = (o1 * w1 + acc2 * w2) / (w1 + l2 * w2)
+
+        o = o.reshape(B, n_heads * hs).astype(compute_dtype)
+        x = x + proj(o, params.wo, l)
+
+        h = rmsnorm(x, ffn_norm_l, cfg.norm_eps)
+        x = x + _ffn(cfg, params, proj, h, l)
+
+        if quant:
+            kq_, ksc_ = quantize_rows(k)
+            vq_, vsc_ = quantize_rows(v)
+            out_kv = (kq_, vq_, ksc_[..., 0], vsc_[..., 0])
+        else:
+            out_kv = (k.astype(sk.dtype), v.astype(sv.dtype))
+        return x, out_kv
+
+    xs = (jnp.arange(cfg.n_layers, dtype=jnp.int32),
+          params.attn_norm, params.ffn_norm)
+    x, out_kv = jax.lax.scan(scan_fn, x, xs)
+
+    # stage this step's rows: full-tile leading-index updates (no RMW)
+    if quant:
+        kq, vq, ks2, vs2 = out_kv                       # (L, B, n_kv, ...)
+        sk = jax.lax.dynamic_update_slice(sk, kq[:, :, None],
+                                          (0, 0, step_s, 0, 0))
+        sv = jax.lax.dynamic_update_slice(sv, vq[:, :, None],
+                                          (0, 0, step_s, 0, 0))
+        sks = jax.lax.dynamic_update_slice(sks, ks2[:, :, None],
+                                           (0, 0, step_s, 0))
+        svs = jax.lax.dynamic_update_slice(svs, vs2[:, :, None],
+                                           (0, 0, step_s, 0))
+        staged = (sk, sv, sks, svs)
+    else:
+        kq, vq = out_kv
+        sk = jax.lax.dynamic_update_slice(sk, kq[:, :, None],
+                                          (0, 0, step_s, 0, 0))
+        sv = jax.lax.dynamic_update_slice(sv, vq[:, :, None],
+                                          (0, 0, step_s, 0, 0))
+        staged = (sk, sv)
+
+    x = rmsnorm(x, params.out_norm, cfg.norm_eps)
+    logits = mm(x, params.classifier)                               # (B, V)
+    return logits.astype(jnp.float32), staged

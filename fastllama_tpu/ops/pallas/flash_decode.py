@@ -66,7 +66,8 @@ def _slot_block(B: int, HB: int, block_s: int, hs: int, itemsize: int) -> int:
 
 def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, *rest,
                   scale: float, block_s: int, nblocks: int,
-                  quantized: bool = False, fresh: bool = False):
+                  quantized: bool = False, fresh: bool = False,
+                  stats: bool = False):
     """Grid (B//BB, n_kv//HB, NB); single-stream callers wrap into a B=1
     batched cache (flash_decode_single).
     scalars = [layer, pos_0..pos_{B-1}].  Blocks carry BB slots x HB kv
@@ -81,7 +82,14 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, *rest,
     if fresh:
         kn_ref, vn_ref = rest[0], rest[1]
         rest = rest[2:]
-    o_ref, m_scr, l_scr, acc_scr = rest
+    if stats:
+        # extra outputs: the final online-softmax running max / sum, so a
+        # caller can merge MORE rows (the deferred staged-KV block) into
+        # the softmax outside the kernel (models/batched.py
+        # decode_step_deferred)
+        o_ref, m_out, l_out, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
     j = pl.program_id(2)
     BB, HB, hgs, hs = q_ref.shape
@@ -177,9 +185,19 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, *rest,
                 for i in range(BB)])
             acc = acc_scr[:] * corr + e * vn_rows
             o_ref[:] = (acc / l2).reshape(BB, HB, hgs, hs).astype(o_ref.dtype)
+            if stats:
+                m_out[...] = jnp.broadcast_to(m2, (R, 128)).reshape(
+                    BB, HB, hgs, 128)
+                l_out[...] = jnp.broadcast_to(l2, (R, 128)).reshape(
+                    BB, HB, hgs, 128)
         else:
             o_ref[:] = (acc_scr[:] / l_scr[:, :1]).reshape(
                 BB, HB, hgs, hs).astype(o_ref.dtype)
+            if stats:
+                m_out[...] = jnp.broadcast_to(m_scr[:, :1], (R, 128)).reshape(
+                    BB, HB, hgs, 128)
+                l_out[...] = jnp.broadcast_to(l_scr[:, :1], (R, 128)).reshape(
+                    BB, HB, hgs, 128)
 
 
 def flash_decode_batched(q: jax.Array, ck: jax.Array, cv: jax.Array,
@@ -187,7 +205,7 @@ def flash_decode_batched(q: jax.Array, ck: jax.Array, cv: jax.Array,
                          block_s: int = DEFAULT_BLOCK,
                          interpret: bool = False,
                          k_scale=None, v_scale=None,
-                         k_new=None, v_new=None) -> jax.Array:
+                         k_new=None, v_new=None, stats: bool = False):
     """Per-slot decode attention over the FULL stacked batched cache, reading
     only cache rows [0, s_bound) from HBM.
 
@@ -196,7 +214,10 @@ def flash_decode_batched(q: jax.Array, ck: jax.Array, cv: jax.Array,
     ``pos[b] < s_bound`` (0 = max_seq_len).  ``k_scale``/``v_scale``
     (L, B, n_kv, S) mark an int8 cache (per-row dequant in VMEM).
     ``k_new``/``v_new`` (B, n_kv, hs) are the current token's rows under
-    deferred writes (strict causal mask).  Returns (B, n_heads, 1, hs)."""
+    deferred writes (strict causal mask).  Returns (B, n_heads, 1, hs);
+    with ``stats`` also the final online-softmax (max, sum) as two
+    (B, n_kv, hgs) f32 arrays, so the caller can merge further score rows
+    (the deferred staged-KV window) outside the kernel."""
     B, n_heads, T, hs = q.shape
     L, Bc, n_kv, S, _ = ck.shape
     s_bound = min(s_bound or S, S)
@@ -212,7 +233,7 @@ def flash_decode_batched(q: jax.Array, ck: jax.Array, cv: jax.Array,
 
     kernel = functools.partial(_flash_kernel, scale=1.0 / float(hs) ** 0.5,
                                block_s=block_s, nblocks=NB,
-                               quantized=quantized, fresh=fresh)
+                               quantized=quantized, fresh=fresh, stats=stats)
     kv_spec = pl.BlockSpec((1, BB, HB, block_s, hs),
                            lambda b, h, j, s: (s[0], b, h, j, 0),
                            memory_space=pltpu.VMEM)
@@ -237,13 +258,22 @@ def flash_decode_batched(q: jax.Array, ck: jax.Array, cv: jax.Array,
                                memory_space=pltpu.VMEM)
         in_specs += [fr_spec, fr_spec]
         operands += [k_new, v_new]
+    out_specs = pl.BlockSpec((BB, HB, hgs, hs),
+                             lambda b, h, j, s: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, n_kv, hgs, hs), q.dtype)
+    if stats:
+        st_spec = pl.BlockSpec((BB, HB, hgs, 128),
+                               lambda b, h, j, s: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM)
+        st_shape = jax.ShapeDtypeStruct((B, n_kv, hgs, 128), jnp.float32)
+        out_specs = [out_specs, st_spec, st_spec]
+        out_shape = [out_shape, st_shape, st_shape]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // BB, n_kv // HB, NB),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((BB, HB, hgs, hs),
-                               lambda b, h, j, s: (b, h, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((BB * HB * hgs, 128), jnp.float32),  # running max
             pltpu.VMEM((BB * HB * hgs, 128), jnp.float32),  # running sum
@@ -253,13 +283,16 @@ def flash_decode_batched(q: jax.Array, ck: jax.Array, cv: jax.Array,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, n_kv, hgs, hs), q.dtype),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * n_heads * s_bound * hs * 2,
             bytes_accessed=2 * B * n_kv * s_bound * hs * ck.dtype.itemsize,
             transcendentals=B * n_heads * s_bound),
         interpret=interpret,
     )(scalars, *operands)
+    if stats:
+        o, m, l = out
+        return o.reshape(B, n_heads, 1, hs), m[..., 0], l[..., 0]
     return out.reshape(B, n_heads, 1, hs)
 
 
@@ -500,6 +533,29 @@ def make_attn_batched_flash(s_bound: int = 0, interpret: bool = False):
                                             k_new, v_new, pos)
 
     return attn_bidx
+
+
+def make_attn_batched_flash_stats(s_bound: int = 0, interpret: bool = False):
+    """attn_stats(q, cache, pos0, layer, k_new, v_new) for
+    models.batched.decode_step_deferred: the bounded-window kernel over
+    cache rows [0, pos0) plus the current token's fresh row, ALSO returning
+    the final online-softmax (max, sum) so the caller can merge the staged
+    (not-yet-landed) KV rows outside the kernel.  No jnp fallback — the
+    engine gates deferred chunks on the kernel's static shape requirements
+    (hs % 8, tileable S) at init.
+
+    q (B, n_heads, hs); k_new/v_new (B, n_kv, hs).  Returns
+    (o (B, n_heads, hs), m (B, n_kv, hgs) f32, l (B, n_kv, hgs) f32)."""
+
+    def attn_stats(q, cache, pos0, layer, k_new, v_new):
+        bs = _block_size(cache.k.shape[3])
+        o, m, l = flash_decode_batched(
+            q[:, :, None], cache.k, cache.v, pos0, layer, s_bound, bs,
+            interpret, k_scale=cache.k_scale, v_scale=cache.v_scale,
+            k_new=k_new, v_new=v_new, stats=True)
+        return o[:, :, 0], m, l
+
+    return attn_stats
 
 
 def make_attn_indexed_flash(s_bound: int = 0, interpret: bool = False):

@@ -29,6 +29,7 @@ from __future__ import annotations
 import dataclasses
 import time
 from collections import deque
+from functools import partial
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -39,7 +40,8 @@ from fastllama_tpu.config import EngineConfig, ModelConfig, QuantType
 from fastllama_tpu.loaders.registry import FileType, load_model
 from fastllama_tpu.loaders.tokenizer import Tokenizer
 from fastllama_tpu.models.batched import (BatchedKVCache, decode_step,
-                                          prefill_many)
+                                          decode_step_deferred, land_staged,
+                                          make_staged, prefill_many)
 from fastllama_tpu.models.llama import LlamaParams
 from fastllama_tpu.ops import sampling
 from fastllama_tpu.ops.qmatmul import qmatmul
@@ -176,6 +178,27 @@ class BatchedEngine:
         # kernels (parallel/spmd_step.py); default = GSPMD auto-partitioning
         self._spmd = bool(ec.spmd_kernels and self.mesh is not None
                           and len(self.mesh.devices.flat) > 1)
+
+        # deferred staged-KV decode chunks (EngineConfig.deferred_kv): gate
+        # on everything the stats kernel + spec_write landing need, decided
+        # once here so _dispatch_chunk's per-chunk check is just K bounds
+        self._deferred_ok = False
+        self._spec_writer = None
+        self._attn_stats_factory = None
+        if (ec.deferred_kv and not self._spmd
+                and kb.attn_bidx_factory is not None
+                and kb.kv_writer is not None
+                and config.head_size % 8 == 0):
+            from fastllama_tpu.ops.pallas.flash_decode import (
+                _block_size, make_attn_batched_flash_stats)
+            from fastllama_tpu.ops.pallas.kv_write import make_spec_writer
+            if _block_size(config.max_seq_len):
+                self._deferred_ok = True
+                self._spec_writer = make_spec_writer(
+                    interpret=ec.pallas_interpret)
+                self._attn_stats_factory = partial(
+                    make_attn_batched_flash_stats,
+                    interpret=ec.pallas_interpret)
 
         # device state
         self.cache = BatchedKVCache.create(config, self.B, dtype=self.kv_dtype)
@@ -384,14 +407,21 @@ class BatchedEngine:
                     return slot, l
         return None, 0
 
-    def _get_chunk(self, n_steps: int, greedy_only: bool, s_bound: int = 0):
-        key_ = (n_steps, greedy_only, s_bound)
+    def _get_chunk(self, n_steps: int, greedy_only: bool, s_bound: int = 0,
+                   deferred: bool = False):
+        key_ = (n_steps, greedy_only, s_bound, deferred)
         if key_ not in self._chunk_fns:
             cfg, mm, mi, ab = (self.config, self._mm, self._mm_idx,
                                self._attn_bidx)
             if s_bound and self._attn_bidx_factory is not None:
                 ab = self._attn_bidx_factory(s_bound)
             cdt, S = self._cdt, self.S
+
+            if deferred:
+                fn = self._build_deferred_chunk(n_steps, greedy_only,
+                                                s_bound)
+                self._chunk_fns[key_] = fn
+                return fn
 
             def chunk(params, cache, tokens, pos, keys, temps, topps):
                 def body(carry, _):
@@ -425,6 +455,48 @@ class BatchedEngine:
             self._chunk_fns[key_] = jax.jit(
                 chunk, donate_argnums=(1,) if self.ec.donate_cache else ())
         return self._chunk_fns[key_]
+
+    def _build_deferred_chunk(self, n_steps: int, greedy_only: bool,
+                              s_bound: int):
+        """K-step decode chunk with chunk-deferred cache writes: fresh K/V
+        rows accumulate in the exact-tile staging buffers
+        (models/batched.make_staged) and land with ONE spec_write at chunk
+        end — the per-step int8 slab read-modify-write (~1.5 ms/step of
+        pure cache-slab traffic at serving batch) collapses to at most two
+        slabs per slot per layer per CHUNK.  ``pos`` here is the chunk
+        START position (fixed across the scan); the host guarantees
+        max(pos) + K <= S - 1 (_plan_chunk) so the landing never wraps."""
+        cfg, mm, mi, cdt = self.config, self._mm, self._mm_idx, self._cdt
+        ast = self._attn_stats_factory(s_bound)
+        sw = self._spec_writer
+        K = n_steps
+
+        def chunk(params, cache, tokens, pos0, keys, temps, topps):
+            B = tokens.shape[0]
+            staged0 = make_staged(cfg, cache, B, K)
+
+            def body(carry, s):
+                tok, keys, staged = carry
+                logits, staged = decode_step_deferred(
+                    cfg, params, tok, pos0, s, staged, cache,
+                    mm=mm, mm_idx=mi, attn_stats=ast, compute_dtype=cdt)
+                if greedy_only:
+                    nxt = sampling.greedy(logits)
+                else:
+                    splits = jax.vmap(jax.random.split)(keys)
+                    keys = splits[:, 0]
+                    nxt = sampling.sample_batched(
+                        logits, splits[:, 1], temps, topps)
+                return (nxt, keys, staged), nxt
+
+            (tok, keys, staged), toks = jax.lax.scan(
+                body, (tokens, keys, staged0),
+                jnp.arange(K, dtype=jnp.int32))
+            cache = land_staged(cache, staged, pos0, sw)
+            return toks, cache, keys
+
+        return jax.jit(
+            chunk, donate_argnums=(1,) if self.ec.donate_cache else ())
 
     # -- scheduling ------------------------------------------------------------
 
@@ -665,7 +737,10 @@ class BatchedEngine:
         if self._attn_bidx_factory is not None:
             from fastllama_tpu.ops.pallas.flash_decode import round_bound
             s_bound = round_bound(max_pos + K, self.S)
-        fn = self._get_chunk(K, greedy_only, s_bound)
+        # deferred staged-KV chunks need >= 2 steps to amortize the landing;
+        # past K=32 the per-step staged re-reads outgrow the slab savings
+        deferred = bool(self._deferred_ok and 2 <= K <= 32)
+        fn = self._get_chunk(K, greedy_only, s_bound, deferred)
         toks, self.cache, self._keys = fn(
             self.params, self.cache, pending, pos, self._keys,
             jnp.asarray(self.temps), jnp.asarray(self.topps))

@@ -196,6 +196,151 @@ def spmd_decode_step(cfg: ModelConfig, mesh, params: LlamaParams,
     return logits.astype(jnp.float32), BatchedKVCache(ck, cv, ksc, vsc)
 
 
+def spmd_spec_decode_step(cfg: ModelConfig, mesh, params: LlamaParams,
+                          tokens: jax.Array, pos: jax.Array,
+                          cache: BatchedKVCache, *,
+                          mm: Callable, mm_idx: Optional[Callable],
+                          attn_sbidx: Optional[Callable] = None,
+                          spec_writer: Optional[Callable] = None,
+                          data_sharded: bool = False,
+                          compute_dtype=jnp.bfloat16):
+    """Batched speculative VERIFY under shard_map — the spmd counterpart of
+    models/batched.spec_decode_step (VERDICT r3 #1: the fastest loop must
+    run on every shard, the reference's every-worker-hot-loop design,
+    transformer.cpp:253-384).
+
+    tokens (B, D) — slot b's D rows at absolute positions pos[b]..pos[b]+D-1;
+    every matmul sees a (Bl*D, dim) LOCAL activation (weight stream amortized
+    over the shard's slots exactly like the single-device path), attention is
+    the per-shard flash_spec_batched over local slots + local kv heads, the
+    D fresh rows land with one per-shard spec_write.  With ``data_sharded``
+    the slot axis splits over 'data' (the multi-host layout; drafting stays
+    OUTSIDE, it is slot-local jnp).  Returns (logits (B, D, vocab), cache).
+    """
+    B, D = tokens.shape
+    hs, n_heads, n_kv = cfg.head_size, cfg.n_heads, cfg.n_kv_heads
+    mp = mesh.shape[MODEL_AXIS]
+    _check_dims(cfg, mesh, B, data_sharded)
+
+    x = embed_tokens(params.embedding, tokens.reshape(B * D), compute_dtype)
+    positions = pos[:, None] + jnp.arange(D, dtype=jnp.int32)[None]   # (B,D)
+    cos, sin = rope_tables(cfg, positions.reshape(-1), compute_dtype)
+    cos = cos.reshape(B, D, -1)
+    sin = sin.reshape(B, D, -1)
+
+    col = P(None, None, MODEL_AXIS)
+    row = P(None, MODEL_AXIS, None)
+    da = DATA_AXIS if data_sharded else None
+    rows2 = P(da, None)                            # x: (B*D, dim) slot-major
+    rows3 = P(da, None, None)                      # cos/sin: (B, D, hs/2)
+    slot_vec = P(da)
+    cache5 = P(None, da, MODEL_AXIS, None, None)
+    cache4 = P(None, da, MODEL_AXIS, None)
+    sc_spec = cache4 if cache.quantized else P()
+    quant = cache.quantized
+
+    def body(x, cos, sin, pos_, attn_norm, ffn_norm, wq, wk, wv, wo, w1, w2,
+             w3, ck, cv, ksc, vsc):
+        """Per shard: x (Bl*D, dim); cache local (L, Bl, n_kv/mp, S, hs)."""
+        Bl = x.shape[0] // D
+        n_heads_l = n_heads // mp
+        n_kv_l = n_kv // mp
+
+        def proj(h, w, l):
+            if mm_idx is not None:
+                return mm_idx(h, w, l)
+            from fastllama_tpu.models.batched import _take_layer
+            return mm(h, _take_layer(w, l))
+
+        local_cache = BatchedKVCache(ck, cv, ksc, vsc)
+
+        def scan_fn(x, layer):
+            l, attn_norm_l, ffn_norm_l = layer
+            h = rmsnorm(x, attn_norm_l, cfg.norm_eps)
+            q = proj(h, wq, l).reshape(Bl, D, n_heads_l, hs).transpose(
+                0, 2, 1, 3)
+            k = proj(h, wk, l).reshape(Bl, D, n_kv_l, hs).transpose(
+                0, 2, 1, 3)
+            v = proj(h, wv, l).reshape(Bl, D, n_kv_l, hs).transpose(
+                0, 2, 1, 3)
+            q = apply_rope_half(q, cos[:, None], sin[:, None])
+            k = apply_rope_half(k, cos[:, None], sin[:, None])
+
+            k_self = v_self = None
+            if quant:
+                # same quantize-roundtrip contract as spec_decode_step:
+                # off-diagonal rows attend the int8-quantized values (what
+                # sequential steps read back), the diagonal keeps the exact
+                # row, and the scan outputs the quantized bytes so the
+                # cache write is the SAME quantization
+                from fastllama_tpu.quant.groupquant import dequantize_rows
+                k_self, v_self = k, v
+                kq_, ksc_ = quantize_rows(k)
+                vq_, vsc_ = quantize_rows(v)
+                k = dequantize_rows(kq_, ksc_, compute_dtype)
+                v = dequantize_rows(vq_, vsc_, compute_dtype)
+                out_kv = (kq_, vq_, ksc_[..., 0], vsc_[..., 0])
+            else:
+                out_kv = (k, v)
+
+            o = attn_sbidx(q, local_cache, pos_, l, k, v, k_self=k_self,
+                           v_self=v_self) if attn_sbidx is not None else None
+            if o is None:                          # jnp fallback (CPU tests)
+                from fastllama_tpu.models.batched import _layer_slices
+                from fastllama_tpu.ops.attention import \
+                    gqa_attention_spec_batched
+                ck_l, cv_l = _layer_slices(local_cache, l, compute_dtype)
+                o = gqa_attention_spec_batched(q, ck_l[:Bl], cv_l[:Bl], k, v,
+                                               pos_, k_self=k_self,
+                                               v_self=v_self)
+            o = o.transpose(0, 2, 1, 3).reshape(Bl * D, n_heads_l * hs)
+            x = x + jax.lax.psum(proj(o, wo, l), MODEL_AXIS)
+
+            h = rmsnorm(x, ffn_norm_l, cfg.norm_eps)
+            hd = swiglu(proj(h, w1, l), proj(h, w3, l))
+            x = x + jax.lax.psum(proj(hd, w2, l), MODEL_AXIS)
+            return x, out_kv
+
+        xs = (jnp.arange(cfg.n_layers, dtype=jnp.int32), attn_norm, ffn_norm)
+        if quant:
+            x, (kq, vq, ks2, vs2) = jax.lax.scan(scan_fn, x, xs)
+        else:
+            x, (ks, vs) = jax.lax.scan(scan_fn, x, xs)  # (L,Bl,n_kv_l,D,hs)
+            kq, vq = ks.astype(ck.dtype), vs.astype(cv.dtype)
+            ks2 = vs2 = None
+        if spec_writer is not None:
+            new = spec_writer(BatchedKVCache(ck, cv, ksc, vsc), kq, vq,
+                              ks2, vs2, pos_)
+            return x, new.k, new.v, new.k_scale, new.v_scale
+        for b in range(Bl):
+            ck = jax.lax.dynamic_update_slice(
+                ck, kq[:, b][:, None], (0, b, 0, pos_[b], 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, vq[:, b][:, None], (0, b, 0, pos_[b], 0))
+            if quant:
+                ksc = jax.lax.dynamic_update_slice(
+                    ksc, ks2[:, b][:, None], (0, b, 0, pos_[b]))
+                vsc = jax.lax.dynamic_update_slice(
+                    vsc, vs2[:, b][:, None], (0, b, 0, pos_[b]))
+        return x, ck, cv, ksc, vsc
+
+    in_specs = (rows2, rows3, rows3, slot_vec, P(), P(),
+                col, col, col, row, col, row, col,
+                cache5, cache5, sc_spec, sc_spec)
+    out_specs = (rows2, cache5, cache5, sc_spec, sc_spec)
+    fn = _shard_map(body, mesh, in_specs, out_specs)
+    x, ck, cv, ksc, vsc = fn(
+        x, cos, sin, pos, params.attn_norm, params.ffn_norm,
+        params.wq, params.wk, params.wv, params.wo, params.w1, params.w2,
+        params.w3, cache.k, cache.v, cache.k_scale, cache.v_scale)
+
+    x = rmsnorm(x, params.out_norm, cfg.norm_eps)
+    from fastllama_tpu.ops.qmatmul import qmatmul
+    logits = qmatmul(x, params.classifier, compute_dtype)
+    return (logits.reshape(B, D, -1).astype(jnp.float32),
+            BatchedKVCache(ck, cv, ksc, vsc))
+
+
 def spmd_prefill_many(cfg: ModelConfig, mesh, params: LlamaParams,
                       tokens: jax.Array, lengths: jax.Array,
                       slots: jax.Array, cache: BatchedKVCache, *,

@@ -83,10 +83,6 @@ class SpecBatchedEngine(BatchedEngine):
                          decode_chunk)
         if width < 2:
             raise ValueError("speculation needs width >= 2")
-        if self._spmd:
-            raise NotImplementedError(
-                "batched speculation under spmd_kernels is round-4 work; "
-                "run it single-device or with GSPMD off")
         self.width = width
         self.ngram = ngram
         self.R = max(1, rounds_per_chunk)
@@ -148,10 +144,21 @@ class SpecBatchedEngine(BatchedEngine):
                 ys = ngram_draft_batched(hist, pos + 1, n, D)       # (B, D)
                 batch = jnp.concatenate(
                     [pending[:, None], ys[:, :D - 1]], axis=1)
-                lg, cache = spec_decode_step(
-                    cfg, params, batch, pos, cache,
-                    mm=mm, mm_idx=mi, attn_sbidx=ab,
-                    spec_writer=self._spec_writer, compute_dtype=cdt)
+                if self._spmd:
+                    # every shard runs the fused verify loop on its local
+                    # slots (parallel/spmd_step.spmd_spec_decode_step);
+                    # drafting above is slot-local jnp, GSPMD-partitioned
+                    from fastllama_tpu.parallel.spmd_step import \
+                        spmd_spec_decode_step
+                    lg, cache = spmd_spec_decode_step(
+                        cfg, self.mesh, params, batch, pos, cache,
+                        mm=mm, mm_idx=mi, attn_sbidx=ab,
+                        spec_writer=self._spec_writer, compute_dtype=cdt)
+                else:
+                    lg, cache = spec_decode_step(
+                        cfg, params, batch, pos, cache,
+                        mm=mm, mm_idx=mi, attn_sbidx=ab,
+                        spec_writer=self._spec_writer, compute_dtype=cdt)
                 return ys, lg, cache
 
             def commit(carry_head, emit, a, cache, hist, pos):

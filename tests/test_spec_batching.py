@@ -207,6 +207,47 @@ def test_spec_batched_pallas_interpret_matches_plain(tmp_path):
     assert got == want
 
 
+@pytest.mark.parametrize("mesh", ["data=1,model=2", "data=2,model=2"])
+def test_spec_batched_spmd_matches_plain(tmp_path, mesh):
+    """SpecBatchedEngine under spmd_kernels (shard_map TP with interpret
+    -mode fused kernels, incl. the per-shard flash spec-verify kernel and
+    per-shard spec_write) must equal the plain single-device engine —
+    VERDICT r3 #1: the fastest loop runs on every shard."""
+    import jax as _jax
+    from fastllama_tpu.runtime.batching import BatchedEngine
+    from fastllama_tpu.runtime.spec_batching import SpecBatchedEngine
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+
+    need = 2 if mesh == "data=1,model=2" else 4
+    if len(_jax.devices()) < need:
+        pytest.skip(f"needs >= {need} virtual devices")
+    cfg = ModelConfig(dim=256, hidden_dim=256, n_layers=2, n_heads=8,
+                      n_kv_heads=8, vocab_size=512, max_seq_len=128,
+                      group_size=16)
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=cfg)
+    prompts = [[1, 5, 9, 13, 80, 200, 31], [2, 4, 6]]
+
+    base = BatchedEngine.load(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=128, max_batch_size=2,
+                     compute_dtype="float32", kv_dtype="int8"),
+        decode_chunk=8)
+    want = [r.output_tokens for r in base.generate_all(
+        prompts, max_new_tokens=16, temperature=0.0, stop_tokens=())]
+
+    spec = SpecBatchedEngine.load_spec(
+        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=128, max_batch_size=2,
+                     compute_dtype="float32", kv_dtype="int8",
+                     mesh=mesh, spmd_kernels=True, pallas_interpret=True),
+        decode_chunk=8, width=4, rounds_per_chunk=3)
+    assert spec._spmd and spec._attn_sbidx_factory is not None
+    assert spec._spec_writer is not None
+    got = [r.output_tokens for r in spec.generate_all(
+        prompts, max_new_tokens=16, temperature=0.0, stop_tokens=())]
+    assert got == want
+
+
 def test_spec_batched_mixed_sampling(tmp_path):
     """Mixed greedy + sampled slots run the sampled spec rounds: greedy
     requests stay bit-exact vs plain serving, sampled requests are

@@ -56,6 +56,14 @@ def run(cfg, params, batch, chunk, n_tokens, prompt, kv, deferred):
     eng.run()
     agg = eng.stats.aggregate_tps
     del eng
+    # the next engine allocates its own multi-GB cache while this one's
+    # buffers (pinned by cached executables + GC lag) are still resident:
+    # measured RESOURCE_EXHAUSTED on the second engine at 7B/B=48 without
+    # the explicit drop
+    import gc
+    gc.collect()
+    jax.clear_caches()
+    gc.collect()
     return agg
 
 

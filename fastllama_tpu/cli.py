@@ -95,8 +95,28 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve mode: cap decode chunks at this many steps "
                         "while requests queue behind a full batch (bounds "
                         "queued TTFT; 0 = off)")
+    p.add_argument("--priority", type=int, default=0,
+                   help="serve mode: admission priority class for the "
+                        "submitted prompts (higher admits first; per-line "
+                        "values via --prompts-tsv override this)")
+    p.add_argument("--deadline", type=float, default=0.0,
+                   help="serve mode: queued-TTFT deadline in seconds — "
+                        "requests still queued past it are rejected "
+                        "(0 = none; per-line values via --prompts-tsv)")
+    p.add_argument("--prompts-tsv", action="store_true",
+                   help="--prompts-file lines are 'priority<TAB>deadline_s"
+                        "<TAB>prompt' (mixed QoS loads from one file)")
     p.add_argument("--spec-width", type=int, default=8,
                    help="speculation verify width D")
+    p.add_argument("--spec-rounds", type=int, default=32,
+                   help="--mode serve --spec: speculative rounds per device "
+                        "chunk; longer chunks amortize the per-chunk host "
+                        "round trip (measured: 32 rounds turned a B=32 loss "
+                        "into a win, tools/spec_batch_ab.py).  Note at "
+                        "S<=512 speculation's crossover vs plain serving "
+                        "sits between B=32 (wins) and B=48 (loses); the "
+                        "engine auto-falls-back per chunk when plain is "
+                        "measured faster")
     p.add_argument("--debug", action="store_true")
     return p
 
@@ -111,10 +131,17 @@ def serve_mode(args) -> int:
                       prefix_cache=args.prefix_cache,
                       spmd_kernels=args.spmd_kernels,
                       qos_chunk=args.qos_chunk)
-    if args.multihost:
-        if args.spec:
-            print("# --spec is not supported with --multihost yet; "
-                  "serving plain decode", file=sys.stderr)
+    if args.multihost and args.spec:
+        # batched speculation in the lockstep fleet: every host's shards
+        # run the fused verify loop on their local slots
+        # (runtime/spec_multihost.py; needs --spmd-kernels on a
+        # multi-device mesh, else it downgrades with a warning)
+        from fastllama_tpu.runtime.spec_multihost import MultiHostSpecEngine
+        eng = MultiHostSpecEngine.load_spec(
+            args.checkpoint, args.tokenizer, FileType.parse(args.file_type),
+            QuantType.parse(args.quant), ec, decode_chunk=args.decode_chunk,
+            width=args.spec_width, rounds_per_chunk=args.spec_rounds)
+    elif args.multihost:
         from fastllama_tpu.runtime.multihost import MultiHostEngine
         eng = MultiHostEngine.load(args.checkpoint, args.tokenizer,
                                    FileType.parse(args.file_type),
@@ -127,7 +154,7 @@ def serve_mode(args) -> int:
         eng = SpecBatchedEngine.load_spec(
             args.checkpoint, args.tokenizer, FileType.parse(args.file_type),
             QuantType.parse(args.quant), ec, decode_chunk=args.decode_chunk,
-            width=args.spec_width)
+            width=args.spec_width, rounds_per_chunk=args.spec_rounds)
     else:
         from fastllama_tpu.runtime.batching import BatchedEngine
         eng = BatchedEngine.load(args.checkpoint, args.tokenizer,
@@ -136,9 +163,17 @@ def serve_mode(args) -> int:
                                  decode_chunk=args.decode_chunk)
     if args.prompts_file:
         with open(args.prompts_file, encoding="utf-8") as f:
-            prompts = [ln.rstrip("\n") for ln in f if ln.strip()]
+            lines = [ln.rstrip("\n") for ln in f if ln.strip()]
     else:
-        prompts = [ln.rstrip("\n") for ln in sys.stdin if ln.strip()]
+        lines = [ln.rstrip("\n") for ln in sys.stdin if ln.strip()]
+    if args.prompts_tsv:
+        # per-line QoS: 'priority<TAB>deadline_s<TAB>prompt'
+        prompts = []
+        for ln in lines:
+            pr, dl, text = ln.split("\t", 2)
+            prompts.append((text, int(pr), float(dl)))
+    else:
+        prompts = [(ln, args.priority, args.deadline) for ln in lines]
     if args.multihost:
         # each host serves its own share of the prompt list, round-robin by
         # process index (a shared file on every host serves distinct rows)
@@ -149,10 +184,14 @@ def serve_mode(args) -> int:
         return 2
     reqs = [eng.submit(pr, max_new_tokens=args.max_new_tokens,
                        temperature=args.temperature, topp=args.topp,
-                       seed=args.seed + i)
-            for i, pr in enumerate(prompts)]
+                       seed=args.seed + i, priority=prio, deadline_s=dl)
+            for i, (pr, prio, dl) in enumerate(prompts)]
     stats = eng.run()
     for r in reqs:
+        if r.rejected:
+            print(f"[{r.id}] REJECTED (deadline {r.deadline_s:.2f}s "
+                  f"lapsed while queued)\n")
+            continue
         print(f"[{r.id}] ttft={r.ttft*1000:.0f}ms "
               f"tokens={len(r.output_tokens)}\n{r.text(eng.tokenizer)}\n")
     print(f"served {stats.completed} requests | aggregate decode "

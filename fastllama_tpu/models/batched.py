@@ -112,6 +112,33 @@ def _make_proj(mm: Callable, mm_idx: Optional[Callable], compute_dtype):
     return lambda h, w, l: mm(h, _take_layer(w, l))
 
 
+def _decode_layer_qkv(cfg: ModelConfig, params: LlamaParams, proj,
+                      x, l, attn_norm_l, cos, sin):
+    """Shared decode-layer front half (decode_step AND
+    decode_step_deferred — one body so the two paths cannot drift): norm →
+    QKV projection → per-head reshape → rope.  x (B, dim); returns
+    q (B, H, hs), k/v (B, n_kv, hs) roped."""
+    B = x.shape[0]
+    hs, n_heads, n_kv = cfg.head_size, cfg.n_heads, cfg.n_kv_heads
+    h = rmsnorm(x, attn_norm_l, cfg.norm_eps)
+    q, k, v = _split_qkv(cfg, params, proj, h, l)
+    q = q.reshape(B, n_heads, hs)
+    k = k.reshape(B, n_kv, hs)
+    v = v.reshape(B, n_kv, hs)
+    q = apply_rope_half(q, cos[:, None], sin[:, None])
+    k = apply_rope_half(k, cos[:, None], sin[:, None])
+    return q, k, v
+
+
+def _decode_layer_tail(cfg: ModelConfig, params: LlamaParams, proj,
+                       x, o, l, ffn_norm_l):
+    """Shared decode-layer back half: attention-output projection +
+    residual, then the FFN block.  o (B, H*hs) flat."""
+    x = x + proj(o, params.wo, l)
+    h = rmsnorm(x, ffn_norm_l, cfg.norm_eps)
+    return x + _ffn(cfg, params, proj, h, l)
+
+
 def _write_slot(cache: "BatchedKVCache", ks: jax.Array, vs: jax.Array,
                 slot) -> "BatchedKVCache":
     """Write (L, n_kv, T, hs) fresh K/V rows into slot ``slot`` at positions
@@ -469,7 +496,10 @@ def spec_decode_step(cfg: ModelConfig, params: LlamaParams,
         if o is None:                              # jnp fallback
             from fastllama_tpu.ops.attention import gqa_attention_spec_batched
             ck_l, cv_l = _layer_slices(cache, l, compute_dtype)
-            o = gqa_attention_spec_batched(q, ck_l, cv_l, k, v, pos,
+            # the cache may carry MORE slots than the verify covers (the
+            # multi-host engine's sink slot sits past the serving slots);
+            # row b always addresses cache slot b
+            o = gqa_attention_spec_batched(q, ck_l[:B], cv_l[:B], k, v, pos,
                                            k_self=k_self, v_self=v_self)
         o = o.transpose(0, 2, 1, 3).reshape(B * D, n_heads * hs)
         x = x + proj(o, params.wo, l)
@@ -542,15 +572,8 @@ def decode_step(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array,
 
     def scan_fn(x, layer):
         l, attn_norm_l, ffn_norm_l = layer
-
-        h = rmsnorm(x, attn_norm_l, cfg.norm_eps)
-        q, k, v = _split_qkv(cfg, params, proj, h, l)
-        q = q.reshape(B, n_heads, hs)
-        k = k.reshape(B, n_kv, hs)
-        v = v.reshape(B, n_kv, hs)
-        q = apply_rope_half(q, cos[:, None], sin[:, None])
-        k = apply_rope_half(k, cos[:, None], sin[:, None])
-
+        q, k, v = _decode_layer_qkv(cfg, params, proj, x, l, attn_norm_l,
+                                    cos, sin)
         if attn_bidx is not None:
             o = attn_bidx(q, cache, pos, l, k, v)            # (B, H, hs)
         else:
@@ -563,11 +586,8 @@ def decode_step(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array,
             # row b always addresses cache slot b
             o = gqa_attention_decode_batched(q, ck_l[:B], cv_l[:B], k, v,
                                              pos)
-        o = o.reshape(B, n_heads * hs)
-        x = x + proj(o, params.wo, l)
-
-        h = rmsnorm(x, ffn_norm_l, cfg.norm_eps)
-        x = x + _ffn(cfg, params, proj, h, l)
+        x = _decode_layer_tail(cfg, params, proj, x,
+                               o.reshape(B, n_heads * hs), l, ffn_norm_l)
         return x, (k, v)
 
     xs = (jnp.arange(cfg.n_layers, dtype=jnp.int32),
@@ -708,14 +728,8 @@ def decode_step_deferred(cfg: ModelConfig, params: LlamaParams,
 
     def scan_fn(x, layer):
         l, attn_norm_l, ffn_norm_l = layer
-
-        h = rmsnorm(x, attn_norm_l, cfg.norm_eps)
-        q, k, v = _split_qkv(cfg, params, proj, h, l)
-        q = q.reshape(B, n_heads, hs)
-        k = k.reshape(B, n_kv, hs)
-        v = v.reshape(B, n_kv, hs)
-        q = apply_rope_half(q, cos[:, None], sin[:, None])
-        k = apply_rope_half(k, cos[:, None], sin[:, None])
+        q, k, v = _decode_layer_qkv(cfg, params, proj, x, l, attn_norm_l,
+                                    cos, sin)
 
         # cache part + own fresh row (full precision), with softmax stats
         o1, m1, l1 = attn_stats(q, cache, pos0, l, k, v)
@@ -751,10 +765,7 @@ def decode_step_deferred(cfg: ModelConfig, params: LlamaParams,
         o = (o1 * w1 + acc2 * w2) / (w1 + l2 * w2)
 
         o = o.reshape(B, n_heads * hs).astype(compute_dtype)
-        x = x + proj(o, params.wo, l)
-
-        h = rmsnorm(x, ffn_norm_l, cfg.norm_eps)
-        x = x + _ffn(cfg, params, proj, h, l)
+        x = _decode_layer_tail(cfg, params, proj, x, o, l, ffn_norm_l)
 
         if quant:
             kq_, ksc_ = quantize_rows(k)

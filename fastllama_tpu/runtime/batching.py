@@ -175,9 +175,12 @@ class BatchedEngine:
         self._slot_writer = kb.slot_writer
 
         # opt-in explicit-TP path: shard_map over the mesh with per-shard
-        # kernels (parallel/spmd_step.py); default = GSPMD auto-partitioning
-        self._spmd = bool(ec.spmd_kernels and self.mesh is not None
-                          and len(self.mesh.devices.flat) > 1)
+        # kernels (parallel/spmd_step.py); default = GSPMD auto-partitioning.
+        # A 1-device mesh is allowed (psums over size-1 axes are free): it
+        # lets the shard_map program be A/B'd against the plain path on one
+        # chip — the wrapper must cost nothing (tools/spec_batch_ab.py
+        # SB_SPMD=1)
+        self._spmd = bool(ec.spmd_kernels and self.mesh is not None)
 
         # deferred staged-KV decode chunks (EngineConfig.deferred_kv): gate
         # on everything the stats kernel + spec_write landing need, decided
@@ -738,7 +741,18 @@ class BatchedEngine:
             from fastllama_tpu.ops.pallas.flash_decode import round_bound
             s_bound = round_bound(max_pos + K, self.S)
         # deferred staged-KV chunks need >= 2 steps to amortize the landing;
-        # past K=32 the per-step staged re-reads outgrow the slab savings
+        # past K=32 the per-step staged re-reads outgrow the slab savings.
+        # MEASURED on chip (tools/deferred_ab.py, 7B INT8+kv8 B=48 S=512,
+        # 2026-08-19): deferred NEVER wins — K=4: 1946.5 vs 1988.1 plain,
+        # K=8: 2358.0 vs 2351.5 (+0.3%, noise), K=16: 2526.0 vs 2586.6,
+        # K=32: 2437.7 vs 2757.1 (-11.6%) — the per-step staged re-read +
+        # jnp merge epilogue costs what the one-landing amortization saves.
+        # deferred_kv therefore stays DEFAULT-OFF; the machinery is kept
+        # (tested) because the balance may flip on parts with different
+        # HBM:VPU ratios.  Staging memory bound: L*B*K*n_kv*hs bytes x2
+        # (K+V) + scales — ~430 MB at 7B/B=48/K=32 int8, carried through
+        # the chunk scan on top of the multi-GB cache (the K <= 32 cap is
+        # a memory bound too, not just a traffic tradeoff).
         deferred = bool(self._deferred_ok and 2 <= K <= 32)
         fn = self._get_chunk(K, greedy_only, s_bound, deferred)
         toks, self.cache, self._keys = fn(

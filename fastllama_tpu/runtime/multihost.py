@@ -90,6 +90,12 @@ _PLAN_NFIX = 4       # then: NB full-prefill counts, NB prefix-hit counts
 # drains at cap*hosts prompts per step.
 _ADMIT_CAP = 8
 
+# max prefix-cache hits per host per collective hit wave.  The tail flow
+# is unrolled k times inside one program (each hit's donor copy + layer
+# scan), so compile time grows ~linearly with k — 4 keeps it bounded while
+# a typical hit burst still lands in one or two collectives.
+_HIT_CAP = 4
+
 
 class MultiHostEngine:
     """Continuous batching across ``jax.process_count()`` hosts.
@@ -179,8 +185,15 @@ class MultiHostEngine:
         # program explosion measured at 3.3x whole-engine slowdown on v5e
         # (751 vs 2497 tok/s aggregate, 7B INT8 B=40).  The multi-host
         # GSPMD jnp path keeps full-W dispatch: its q row ids are GLOBAL
-        # (row i = slot i only if every slot is covered) and it runs no
-        # Pallas, so slot-blocking never binds there.
+        # (row i = slot i), and skipping each host's sink would leave
+        # non-contiguous global rows — decode would need a row->slot index
+        # array, i.e. a gather over the whole sharded cache per layer (a
+        # full cache copy under GSPMD).  Cost of NOT skipping, bounded:
+        # n_hosts extra rows of W*n_hosts dispatched = 1/W of the per-row
+        # MXU work (QKV/FFN/logits rows) and ZERO extra weight/KV stream
+        # (the decode bottleneck) — ~2% row compute at W=49 on a fallback
+        # path only taken when the spmd dims check fails (spmd_kernels,
+        # the recommended mode everywhere, skips sinks).
         self._decode_w = (self.serve_w
                           if (self._spmd or self.n_hosts == 1) else self.W)
 
@@ -333,10 +346,13 @@ class MultiHostEngine:
                 f, donate_argnums=(4,) if self.ec.donate_cache else ())
         return self._prefill_fns[key_]
 
-    def _get_tail_hit(self, bucket: int):
-        """Collective prefix-HIT admission: donor-row copy + tail prefill,
-        ONE hit per host per call (hosts without one pass sink ids)."""
-        if bucket not in self._tail_fns:
+    def _get_tail_hit(self, bucket: int, k: int = 1):
+        """Collective prefix-HIT admission: donor-row copies + tail
+        prefills, up to ``k`` hits per host per call (hosts with fewer
+        pass sink ids) — a burst of N planned hits costs ceil(N/k)
+        collectives instead of N one-hit dispatches."""
+        key_ = (bucket, k)
+        if key_ not in self._tail_fns:
             cfg, cdt, kb = self.config, self._cdt, self._kb
             at = None
             if kb.attn_bidx is not None:
@@ -359,25 +375,29 @@ class MultiHostEngine:
                                                    topps)
                     return toks, cache
             else:
-                # single-host degenerate (H == 1): the scalar tail path
+                # single-host degenerate (H == 1): the scalar tail path,
+                # looped over the wave's k hits inside one jit
                 from fastllama_tpu.models.batched import (
                     copy_slot_prefix, prefill_into_slot_at)
 
                 def f(params, tokens, lengths, slots, donors, starts,
                       cache, keys, temps, topps):
-                    cache = copy_slot_prefix(cache, donors[0], slots[0],
-                                             starts[0])
-                    logits, cache = prefill_into_slot_at(
-                        cfg, params, tokens[0], lengths[0], slots[0],
-                        starts[0], cache, mm=kb.mm, mm_idx=kb.mm_idx,
-                        attn_tail=at, compute_dtype=cdt)
-                    toks = sampling.sample_batched(logits[None], keys,
+                    logits = []
+                    for i in range(k):
+                        cache = copy_slot_prefix(cache, donors[i], slots[i],
+                                                 starts[i])
+                        lg, cache = prefill_into_slot_at(
+                            cfg, params, tokens[i], lengths[i], slots[i],
+                            starts[i], cache, mm=kb.mm, mm_idx=kb.mm_idx,
+                            attn_tail=at, compute_dtype=cdt)
+                        logits.append(lg)
+                    toks = sampling.sample_batched(jnp.stack(logits), keys,
                                                    temps, topps)
                     return toks, cache
 
-            self._tail_fns[bucket] = jax.jit(
+            self._tail_fns[key_] = jax.jit(
                 f, donate_argnums=(6,) if self.ec.donate_cache else ())
-        return self._tail_fns[bucket]
+        return self._tail_fns[key_]
 
     def _get_chunk(self, n_steps: int, greedy_only: bool, s_bound: int = 0):
         key_ = (n_steps, greedy_only, s_bound)
@@ -547,11 +567,16 @@ class MultiHostEngine:
                 # single-host engine's qos_chunk
                 kmax = min(kmax, self.ec.qos_chunk)
             plan[_PLAN_KMAX] = max(1, kmax)
-            plan[_PLAN_GREEDY] = int(all(
-                self.slot_req[i].temperature <= 0.0 for i in live))
         else:
             plan[_PLAN_KMAX] = self.decode_chunk
-            plan[_PLAN_GREEDY] = 1
+        # GREEDY must cover the requests this plan ADMITS too, not just the
+        # already-live slots: the decode chunk after the admission waves uses
+        # the allgathered flag, so a sampled request admitted on a cold start
+        # would otherwise decode its first chunk greedily (regression-tested:
+        # test_multihost.py::test_multihost_sampled_cold_start)
+        plan[_PLAN_GREEDY] = int(
+            all(self.slot_req[i].temperature <= 0.0 for i in live) and
+            all(self.queue[i].temperature <= 0.0 for i in range(take)))
         # MAXPOS must upper-bound this host's max position AFTER the
         # admissions this plan triggers, because every host derives the
         # flash-window s_bound from the ALLGATHERED plans alone — mixing in
@@ -633,36 +658,43 @@ class MultiHostEngine:
                 self._prefix_register(slot, req.prompt_tokens)
             self._emit(slot, int(firsts[i]), from_decode=False)
 
-    def _admit_hit_wave(self, bucket: int, idx: int) -> None:
-        """One collective hit wave: this host admits its ``idx``-th planned
-        hit of tail-bucket ``bucket`` (or participates with sink ids)."""
+    def _admit_hit_wave(self, bucket: int, idx0: int, k: int = 1) -> None:
+        """One collective hit wave: this host admits its planned hits
+        [idx0, idx0+k) of tail-bucket ``bucket`` (padding with sink ids
+        where it has fewer — SPMD lockstep)."""
         hits = self._planned_hits.get(bucket, [])
-        item = hits[idx] if idx < len(hits) else None
-        toks_np = np.zeros((1, bucket), np.int32)
-        lens = np.ones(1, np.int32)
-        slots_np = np.full(1, self.serve_w, np.int32)      # sink (local id)
-        donors_np = np.full(1, self.serve_w, np.int32)
-        starts_np = np.zeros(1, np.int32)
-        temps = np.zeros(1, np.float32)
-        topps = np.ones(1, np.float32)
-        keys = np.zeros((1, 2), np.uint32)
-        slot = -1
-        if item is not None:
+        items = [hits[i] if i < len(hits) else None
+                 for i in range(idx0, idx0 + k)]
+        toks_np = np.zeros((k, bucket), np.int32)
+        lens = np.ones(k, np.int32)
+        slots_np = np.full(k, self.serve_w, np.int32)      # sink (local id)
+        donors_np = np.full(k, self.serve_w, np.int32)
+        starts_np = np.zeros(k, np.int32)
+        temps = np.zeros(k, np.float32)
+        topps = np.ones(k, np.float32)
+        keys = np.zeros((k, 2), np.uint32)
+        slots = [-1] * k
+        free = iter(i for i, r in enumerate(self.slot_req) if r is None)
+        for i, item in enumerate(items):
+            if item is None:
+                continue
             req, donor, plen = item
-            slot = next(i for i, r in enumerate(self.slot_req) if r is None)
+            slots[i] = slot = next(free)
             self.queue.remove(req)
             tail = req.prompt_tokens[plen:]
-            toks_np[0, :len(tail)] = tail
-            lens[0] = len(tail)
-            slots_np[0] = slot
-            donors_np[0] = donor
-            starts_np[0] = plen
-            temps[0] = req.temperature
-            topps[0] = req.topp
-            keys[0] = (req.seed & 0xFFFFFFFF, req.id & 0xFFFFFFFF)
+            toks_np[i, :len(tail)] = tail
+            lens[i] = len(tail)
+            slots_np[i] = slot
+            donors_np[i] = donor
+            starts_np[i] = plen
+            temps[i] = req.temperature
+            topps[i] = req.topp
+            keys[i] = (req.seed & 0xFFFFFFFF, req.id & 0xFFFFFFFF)
+            # claim the slot NOW so the next hit of this wave can't take it
+            self.slot_req[slot] = req
 
         t0 = time.perf_counter()
-        fn = self._get_tail_hit(bucket)
+        fn = self._get_tail_hit(bucket, k)
         firsts, self.cache = fn(
             self.params,
             self._to_global(toks_np, self._sh_rows2),
@@ -677,13 +709,15 @@ class MultiHostEngine:
         firsts = self._to_local(firsts, P(DATA_AXIS))
         self.stats.prefill_s += time.perf_counter() - t0
 
-        if item is not None:
+        for i, item in enumerate(items):
+            if item is None:
+                continue
             req, donor, plen = item
-            self.slot_req[slot] = req
+            slot = slots[i]
             self.pos[slot] = len(req.prompt_tokens)
             self.temps[slot] = req.temperature
             self.topps[slot] = req.topp
-            self.pending[slot] = int(firsts[0])
+            self.pending[slot] = int(firsts[i])
             self.keys[slot] = (req.seed & 0xFFFFFFFF,
                                (req.id * 65537 + 1) & 0xFFFFFFFF)
             req._prev_token = req.prompt_tokens[-1]
@@ -691,23 +725,30 @@ class MultiHostEngine:
             self.stats.prefix_hits += 1
             self.stats.prefix_rows_reused += plen
             self._prefix_register(slot, req.prompt_tokens)
-            self._emit(slot, int(firsts[0]), from_decode=False)
+            self._emit(slot, int(firsts[i]), from_decode=False)
 
-    def step(self) -> bool:
-        """One lockstep scheduling round across all hosts.  Returns True
-        while ANY host still has work."""
-        NB = len(self._buckets)
-        width = _PLAN_NFIX + 2 * NB
+    def _gather_plans(self) -> np.ndarray:
+        """ONE tiny collective: allgather every host's local plan vector."""
+        plan = self._local_plan()
         plans = np.asarray(multihost_utils.process_allgather(
-            jnp.asarray(self._local_plan())))
-        plans = plans.reshape(self.n_hosts, width)
+            jnp.asarray(plan)))
+        return plans.reshape(self.n_hosts, plan.shape[0])
 
+    def _run_admissions(self, plans: np.ndarray) -> None:
+        """Drain the fleet's planned admissions in lockstep waves (every
+        host derives the same wave sequence from the allgathered plans)."""
+        NB = len(self._buckets)
         # prefix-hit waves first (cheapest admissions; donors are live at
-        # plan time and nothing frees a slot before these run)
+        # plan time and nothing frees a slot before these run), batched k
+        # hits per host per collective call (power-of-two widths capped at
+        # _HIT_CAP bound the compile keys; sink padding is free)
         for j in range(NB - 1, -1, -1):
             h = int(plans[:, _PLAN_NFIX + NB + j].max())
-            for w in range(h):
-                self._admit_hit_wave(self._buckets[j], w)
+            w = 0
+            while w < h:
+                k = min(1 << (h - w - 1).bit_length(), _HIT_CAP)
+                self._admit_hit_wave(self._buckets[j], w, k)
+                w += k
 
         # one admission wave per bucket with fleet-wide demand, largest
         # first (its requests have the least slack to spare); wave width
@@ -725,26 +766,40 @@ class MultiHostEngine:
                 self._admit_wave(a, self._buckets[j])
                 d -= a
 
+    def _plans_max_pos(self, plans: np.ndarray) -> int:
+        """Fleet max position after this round's admissions, derived from
+        the ALLGATHERED plans ONLY (identical arithmetic on identical data
+        on every host — never from host-local self.pos, see _local_plan's
+        MAXPOS comment).  Plan MAXPOS covers live slots + hit admissions;
+        full-prefill admissions are bounded by their wave's bucket."""
+        NB = len(self._buckets)
+        max_pos = int(plans[:, _PLAN_MAXPOS].max())
+        for j in range(NB):
+            if plans[:, _PLAN_NFIX + j].max() > 0:
+                max_pos = max(max_pos, self._buckets[j])
+        return max_pos
+
+    def step(self) -> bool:
+        """One lockstep scheduling round across all hosts.  Returns True
+        while ANY host still has work."""
+        plans = self._gather_plans()
+        self._run_admissions(plans)
         if not plans[:, _PLAN_LIVE].any():
             return False
+        self._decode_round(plans)
+        return bool(self.queue) or any(r is not None for r in self.slot_req)
 
+    def _decode_round(self, plans: np.ndarray) -> None:
+        """One lockstep decode chunk (every host derives the same K/greedy/
+        s_bound from the allgathered plans and issues the same jit call)."""
         K = int(plans[:, _PLAN_KMAX].min())
         K = 1 << (max(K, 1).bit_length() - 1)
         greedy = bool(plans[:, _PLAN_GREEDY].all())
-        # bounded flash window: every host must compile the same s_bound,
-        # so max_pos is derived from the ALLGATHERED plans ONLY (identical
-        # arithmetic on identical data on every host — never from
-        # host-local self.pos, see _local_plan's MAXPOS comment).  Plan
-        # MAXPOS covers live slots + hit admissions; full-prefill
-        # admissions are bounded by their wave's bucket.
+        # bounded flash window: every host must compile the same s_bound
         s_bound = 0
         if self._kb.attn_bidx_factory is not None:
             from fastllama_tpu.ops.pallas.flash_decode import round_bound
-            max_pos = int(plans[:, _PLAN_MAXPOS].max())
-            for j in range(NB):
-                if plans[:, _PLAN_NFIX + j].max() > 0:
-                    max_pos = max(max_pos, self._buckets[j])
-            s_bound = round_bound(max_pos + K, self.S)
+            s_bound = round_bound(self._plans_max_pos(plans) + K, self.S)
 
         # fresh chunk keys: any uint32 pair is a valid threefry key; vary the
         # counter so resampling differs per chunk
@@ -786,7 +841,6 @@ class MultiHostEngine:
                 if self.slot_req[w] is None:
                     break
                 self._emit(w, int(toks_np[k, w]))
-        return bool(self.queue) or any(r is not None for r in self.slot_req)
 
     def run(self) -> BatchStats:
         """Drain ALL hosts' queues (keeps stepping while any host works)."""

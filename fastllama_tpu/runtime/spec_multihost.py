@@ -1,0 +1,351 @@
+"""Batched speculation across hosts — the lockstep multi-host engine
+(runtime/multihost.py) running speculative rounds instead of plain decode
+chunks (runtime/spec_batching.py).
+
+The repo's architectural cornerstone is the reference's every-worker-hot-
+loop design (transformer.cpp:253-384, x86_simd.cpp:1647-1674): whatever the
+fastest decode loop is, EVERY shard runs it on its local slice.  Round 3
+left a hole — batched speculation only ran single-device (VERDICT r3
+Missing #1).  This closes it: each host's chips run the per-shard fused
+verify forward (parallel/spmd_step.spmd_spec_decode_step under shard_map,
+data-sharded slots, TP psums per layer) while drafting, acceptance and the
+commit bookkeeping are slot-local jnp the GSPMD partitioner splits over the
+``data`` axis for free.
+
+Lockstep protocol additions (everything else is inherited):
+
+* the per-host plan vector grows one field, SPECR — the host's cap on
+  speculative rounds this chunk (budget/qos-bounded); the fleet runs
+  ``R = min(rounds_per_chunk, min-over-hosts SPECR, room // D)`` rounds,
+  derived from the allgathered plans alone, so every host compiles and
+  issues the SAME R-round program;
+* per-slot token histories (the n-gram drafting corpus) live on device as
+  ONE global (B, S+D+1) array sharded over ``data`` — each host's rows sit
+  on its own chips and never cross DCN; the host mirror is rebuilt lazily
+  (only after admissions, completions or plain-chunk fallbacks);
+* near the context limit (no full D-row block fits fleet-wide) every host
+  falls back to the parent's plain decode round in the same lockstep round
+  — the generation contract (greedy outputs identical to plain serving) is
+  preserved exactly.
+
+Requires the spmd kernel path on a multi-device mesh (the GSPMD jnp
+fallback cannot express the per-slot verify writes); degenerates to plain
+``MultiHostEngine`` serving with a warning otherwise.
+"""
+from __future__ import annotations
+
+import time
+import warnings
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import multihost_utils
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fastllama_tpu.config import EngineConfig, ModelConfig, QuantType
+from fastllama_tpu.loaders.registry import FileType
+from fastllama_tpu.loaders.tokenizer import Tokenizer
+from fastllama_tpu.models.batched import spec_decode_step
+from fastllama_tpu.models.llama import LlamaParams
+from fastllama_tpu.parallel.sharding import DATA_AXIS
+from fastllama_tpu.runtime.multihost import _PLAN_GREEDY, _PLAN_LIVE, \
+    MultiHostEngine
+from fastllama_tpu.runtime.spec_batching import build_spec_chunk, \
+    ngram_draft_batched
+
+
+class MultiHostSpecEngine(MultiHostEngine):
+    """MultiHostEngine whose decode rounds run batched speculation.
+
+    ``width``: verify rows per slot per round (1 pending + width-1 n-gram
+    drafts); ``rounds_per_chunk``: speculative rounds per collective decode
+    call (longer chunks amortize the per-chunk host/DCN round trip — the
+    dominant cost through a tunnel, NEXT.md round-4 #4)."""
+
+    def __init__(self, config: ModelConfig, params: LlamaParams,
+                 tokenizer: Tokenizer,
+                 engine_config: Optional[EngineConfig] = None,
+                 decode_chunk: int = 16, mesh=None,
+                 width: int = 4, ngram: int = 3, rounds_per_chunk: int = 8,
+                 spec_auto: bool = True):
+        super().__init__(config, params, tokenizer, engine_config,
+                         decode_chunk, mesh)
+        if width < 2:
+            raise ValueError("speculation needs width >= 2")
+        self.width = width
+        self.ngram = ngram
+        self.R = max(1, rounds_per_chunk)
+        self.spec_drafted = 0
+        self.spec_accepted = 0
+        # lockstep-safe auto-arbitration: each host VOTES through its plan
+        # vector (the fleet specs only when every host's measured EMA says
+        # spec wins), so divergent timings can never produce divergent
+        # collective programs
+        from fastllama_tpu.runtime.spec_batching import SpecAutoTuner
+        self._tuner = SpecAutoTuner() if spec_auto else None
+
+        multi_dev = len(self.mesh.devices.flat) > 1
+        self._spec_on = self._spmd or not multi_dev
+        if not self._spec_on:
+            warnings.warn(
+                "batched speculation on a multi-device mesh needs "
+                "spmd_kernels (the GSPMD jnp fallback cannot express the "
+                "per-slot verify writes); serving plain decode")
+
+        self._spec_fns = {}
+        self._attn_sbidx_factory = None
+        self._spec_writer = None
+        if self._kb.attn_bidx is not None:
+            from functools import partial
+            from fastllama_tpu.ops.pallas.flash_decode import \
+                make_attn_spec_batched
+            self._attn_sbidx_factory = partial(
+                make_attn_spec_batched, interpret=self.ec.pallas_interpret)
+        if self._kb.kv_writer is not None:
+            from fastllama_tpu.ops.pallas.kv_write import (_sublane,
+                                                           make_spec_writer)
+            if width <= _sublane(self.kv_dtype):
+                self._spec_writer = make_spec_writer(
+                    interpret=self.ec.pallas_interpret)
+
+        # device-resident lockstep state between chunks (each host holds
+        # its own data-shard rows); rebuilt from the host mirrors only when
+        # dirty — admissions, completions, plain-chunk fallbacks
+        self._sh_hist = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        self._dirty = True
+        self._pend_g = self._pos_g = self._hist_g = None
+        self._temps_g = self._topps_g = self._keys_g = None
+
+    @staticmethod
+    def load_spec(ckpt_path: str, tokenizer_path: str = "",
+                  file_type: FileType = FileType.UNKNOWN,
+                  qtype: Optional[QuantType] = None,
+                  engine_config: Optional[EngineConfig] = None,
+                  decode_chunk: int = 16, mesh=None, width: int = 4,
+                  ngram: int = 3, rounds_per_chunk: int = 8,
+                  spec_auto: bool = True) -> "MultiHostSpecEngine":
+        import dataclasses
+        from fastllama_tpu.loaders.registry import resolve_and_build
+        ec = engine_config or EngineConfig()
+        if not ec.mesh:
+            ec = dataclasses.replace(
+                ec, mesh=f"data={max(1, jax.process_count())},"
+                         f"model={jax.local_device_count()}")
+        cfg, params, tok = resolve_and_build(
+            ckpt_path, tokenizer_path, file_type, qtype, ec, None)
+        return MultiHostSpecEngine(cfg, params, tok, ec, decode_chunk, mesh,
+                                   width, ngram, rounds_per_chunk, spec_auto)
+
+    # -- lockstep plan ---------------------------------------------------------
+
+    def _local_plan(self) -> np.ndarray:
+        """Parent plan + two fields (appended LAST so the parent's fixed
+        column offsets stay valid): this host's cap on speculative rounds,
+        and its spec-vs-plain VOTE (the fleet runs spec only when every
+        host's measured throughput EMA prefers it — min over votes keeps
+        the collective program identical on every host)."""
+        plan = super()._local_plan()
+        specr = self.R
+        if self._spec_on:
+            live = [r for r in self.slot_req if r is not None]
+            if live:
+                budget = max(r.max_new_tokens - len(r.output_tokens)
+                             for r in live)
+                specr = max(1, -(-budget // self.width))
+            if self.ec.qos_chunk and self.queue:
+                # same TTFT bound as the parent's qos_chunk: cap the chunk
+                # at ~qos_chunk tokens per slot while requests queue
+                specr = min(specr, max(1, self.ec.qos_chunk // self.width))
+        vote = 1
+        if self._spec_on and self._tuner is not None:
+            vote = int(self._tuner.choose())
+        return np.concatenate([plan,
+                               np.asarray([specr, vote], np.int32)])
+
+    # -- compiled spec chunk ---------------------------------------------------
+
+    def _get_spec_chunk(self, R: int, s_bound: int, greedy: bool):
+        key_ = (R, s_bound, greedy)
+        if key_ not in self._spec_fns:
+            cfg, kb, cdt = self.config, self._kb, self._cdt
+            D, n, mesh = self.width, self.ngram, self.mesh
+            ab = (self._attn_sbidx_factory(s_bound)
+                  if self._attn_sbidx_factory is not None else None)
+
+            def verify(params, cache, pending, pos, hist):
+                # drafting is slot-local jnp — GSPMD splits it over 'data'
+                ys = ngram_draft_batched(hist, pos + 1, n, D)       # (B, D)
+                batch = jnp.concatenate(
+                    [pending[:, None], ys[:, :D - 1]], axis=1)
+                if self._spmd:
+                    from fastllama_tpu.parallel.spmd_step import \
+                        spmd_spec_decode_step
+                    lg, cache = spmd_spec_decode_step(
+                        cfg, mesh, params, batch, pos, cache,
+                        mm=kb.mm, mm_idx=kb.mm_idx, attn_sbidx=ab,
+                        spec_writer=self._spec_writer, data_sharded=True,
+                        compute_dtype=cdt)
+                else:                      # single-device mesh degenerate
+                    lg, cache = spec_decode_step(
+                        cfg, params, batch, pos, cache,
+                        mm=kb.mm, mm_idx=kb.mm_idx, attn_sbidx=ab,
+                        spec_writer=self._spec_writer, compute_dtype=cdt)
+                return ys, lg, cache
+
+            chunk0 = build_spec_chunk(verify, R, D, greedy)
+
+            def chunk(params, cache, pending, pos, hist, keys, temps, topps):
+                gs, accs, cache, hist, pending, pos, keys = chunk0(
+                    params, cache, pending, pos, hist, keys, temps, topps)
+                # slot-major so every host reads its own columns off DCN
+                gs = jax.lax.with_sharding_constraint(
+                    gs, NamedSharding(mesh, P(None, DATA_AXIS, None)))
+                accs = jax.lax.with_sharding_constraint(
+                    accs, NamedSharding(mesh, P(None, DATA_AXIS)))
+                pending = jax.lax.with_sharding_constraint(
+                    pending, NamedSharding(mesh, P(DATA_AXIS)))
+                return gs, accs, cache, hist, pending, pos, keys
+
+            self._spec_fns[key_] = jax.jit(
+                chunk, donate_argnums=(1,) if self.ec.donate_cache else ())
+        return self._spec_fns[key_]
+
+    # -- device-state upload -----------------------------------------------------
+
+    def _upload_state(self) -> None:
+        """Rebuild the device-resident chunk state from the host mirrors:
+        per-slot histories (prompt + emitted tokens up to pos, then the
+        pending token — exactly what a sequential scheduler would hold),
+        pending/pos/temps/topps and fresh chunk RNG keys."""
+        dw = self._decode_w
+        H = self.S + self.width + 1
+        rows = np.zeros((dw, H), np.int32)
+        for b in range(self.serve_w):
+            req = self.slot_req[b]
+            if req is not None:
+                toks = (req.prompt_tokens + req.output_tokens
+                        )[:int(self.pos[b])] + [int(self.pending[b])]
+                rows[b, :len(toks)] = toks
+        self._hist_g = self._to_global(rows, self._sh_hist)
+        self._pend_g = self._to_global(self.pending[:dw].copy(),
+                                       self._sh_slot_i32)
+        self._pos_g = self._to_global(self.pos[:dw].copy(),
+                                      self._sh_slot_i32)
+        self._temps_g = self._to_global(self.temps[:dw].copy(),
+                                        self._sh_slot_f32)
+        self._topps_g = self._to_global(self.topps[:dw].copy(),
+                                        self._sh_slot_f32)
+        self._chunk_counter += 1
+        kv = self.keys[:dw].copy()
+        kv[:, 1] = (kv[:, 1] + self._chunk_counter) & 0xFFFFFFFF
+        self._keys_g = self._to_global(kv, self._sh_rows2)
+        self._dirty = False
+
+    # -- scheduling --------------------------------------------------------------
+
+    def step(self) -> bool:
+        if not self._spec_on:
+            return super().step()
+
+        before = [r is not None for r in self.slot_req]
+        plans = self._gather_plans()
+        self._run_admissions(plans)
+        if any(r is not None and not b
+               for r, b in zip(self.slot_req, before)):
+            self._dirty = True
+        if not plans[:, _PLAN_LIVE].any():
+            return False
+
+        D = self.width
+        max_pos = self._plans_max_pos(plans)
+        # fleet R and the spec/plain decision from the ALLGATHERED plans
+        # only (lockstep: identical arithmetic on identical data everywhere)
+        R = min(self.R, int(plans[:, -2].min()),
+                max(0, self.S - 1 - max_pos) // D)
+        use_spec = R >= 1 and bool(plans[:, -1].min())
+        if not use_spec:
+            # near the context limit (R < 1) plain lockstep chunks keep the
+            # generation contract exactly; under the tuner they're the
+            # fleet's measured win
+            nfns = len(self._chunk_fns)
+            tok0 = self.stats.decode_tokens
+            t0 = time.perf_counter()
+            self._decode_round(plans)
+            if self._tuner is not None and R >= 1:
+                self._tuner.record(False, self.stats.decode_tokens - tok0,
+                                   time.perf_counter() - t0,
+                                   compiled=len(self._chunk_fns) > nfns)
+            self._dirty = True
+            return bool(self.queue) or any(r is not None
+                                           for r in self.slot_req)
+        # power-of-two bucketing: each (R, s_bound, greedy) compiles its
+        # own R-round whole-model scan (same reason as the parent's K)
+        R = 1 << (R.bit_length() - 1)
+        greedy = bool(plans[:, _PLAN_GREEDY].all())
+        s_bound = 0
+        if self._kb.attn_bidx_factory is not None:
+            from fastllama_tpu.ops.pallas.flash_decode import round_bound
+            s_bound = round_bound(max_pos + R * D, self.S)
+
+        nfns = len(self._spec_fns)
+        tok0 = self.stats.decode_tokens
+        t0 = time.perf_counter()
+        fn = self._get_spec_chunk(R, s_bound, greedy)
+        if self._dirty or self._pend_g is None:
+            self._upload_state()
+        gs, accs, self.cache, self._hist_g, pend_g, pos_g, self._keys_g = fn(
+            self.params, self.cache, self._pend_g, self._pos_g,
+            self._hist_g, self._keys_g, self._temps_g, self._topps_g)
+        # ONE host fetch for everything the scheduler needs (each fetch is
+        # a full DCN/tunnel round trip)
+        gs_l = multihost_utils.global_array_to_host_local_array(
+            gs, self.mesh, P(None, DATA_AXIS, None))
+        accs_l = multihost_utils.global_array_to_host_local_array(
+            accs, self.mesh, P(None, DATA_AXIS))
+        pend_l = multihost_utils.global_array_to_host_local_array(
+            pend_g, self.mesh, P(DATA_AXIS))
+        gs_np, accs_np, pend_np = jax.device_get((gs_l, accs_l, pend_l))
+        dt = time.perf_counter() - t0
+        self.stats.decode_s += dt
+
+        live = [b for b in range(self.serve_w)
+                if self.slot_req[b] is not None]
+        for b in live:
+            for r in range(R):
+                if self.slot_req[b] is None:
+                    break
+                a = int(accs_np[r, b])
+                self.spec_drafted += D - 1
+                self.spec_accepted += a
+                for t in gs_np[r, b, :a + 1]:
+                    if self.slot_req[b] is None:
+                        break
+                    self._emit(b, int(t))
+
+        # mirror device positions, park freed slots
+        dw = self._decode_w
+        adv = accs_np.sum(axis=0) + R                  # (dw,)
+        self.pos[:dw] = np.minimum(self.pos[:dw] + adv.astype(np.int32),
+                                   self.S - 1)
+        self.pending[:dw] = np.asarray(pend_np, np.int32)
+        freed = False
+        for b in range(self.serve_w):
+            if self.slot_req[b] is None:
+                freed = freed or bool(self.pos[b] or self.pending[b])
+                self.pos[b] = 0
+                self.pending[b] = 0
+        if freed:
+            self._dirty = True             # host parked slots; resync next
+        else:
+            self._pend_g, self._pos_g = pend_g, pos_g
+        if self._tuner is not None:
+            self._tuner.record(True, self.stats.decode_tokens - tok0, dt,
+                               compiled=len(self._spec_fns) > nfns)
+        return bool(self.queue) or any(r is not None for r in self.slot_req)
+
+    @property
+    def acceptance(self) -> float:
+        return (self.spec_accepted / self.spec_drafted
+                if self.spec_drafted else 0.0)

@@ -25,17 +25,20 @@ PROMPTS = {
     1: ["one two three " * 4, "hello there world"],
 }
 
-# phase 2 (spmd only): host-local prefix-cache hit — a 32-token donor stays
-# live while a second prompt sharing its first 16 tokens admits via the
-# collective hit wave (spmd_prefill_tail_hits); per-rank distinct tails
+# phase 2 (spmd only): host-local prefix-cache hits — a 32-token donor
+# stays live while TWO prompts sharing its first 16 tokens admit via ONE
+# batched collective hit wave (spmd_prefill_tail_hits, k=2); per-rank
+# distinct tails
 PREFIX_DONOR = list(range(3, 35))                      # 32 tokens
 PREFIX_TAILS = {0: [40, 41, 42], 1: [50, 51, 52, 53]}
+PREFIX_TAILS2 = {0: [60, 61], 1: [70, 71, 72]}
 
 
 def main() -> None:
     rank, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     ckpt, tokp, outfile = sys.argv[4], sys.argv[5], sys.argv[6]
-    spmd = len(sys.argv) > 7 and sys.argv[7] == "1"
+    mode = sys.argv[7] if len(sys.argv) > 7 else "0"
+    spmd = mode in ("1", "spec")
     jax.distributed.initialize(f"localhost:{port}", num_processes=n,
                                process_id=rank)
     assert jax.process_count() == n
@@ -44,12 +47,24 @@ def main() -> None:
     from fastllama_tpu.loaders.registry import FileType
     from fastllama_tpu.runtime.multihost import MultiHostEngine
 
-    eng = MultiHostEngine.load(
-        ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
-        EngineConfig(max_seq_len=64, max_batch_size=2,
-                     compute_dtype="float32", spmd_kernels=spmd,
-                     pallas_interpret=spmd, prefix_cache=spmd),
-        decode_chunk=4)
+    # 3 serving slots: phase 2 needs the donor live PLUS two hit admissions
+    # in one batched wave
+    ec = EngineConfig(max_seq_len=64, max_batch_size=3,
+                      compute_dtype="float32", spmd_kernels=spmd,
+                      pallas_interpret=spmd, prefix_cache=spmd)
+    if mode == "spec":
+        # batched speculation in the lockstep fleet: every host's shards
+        # run the shard_map verify rounds on their own slots (greedy
+        # outputs must stay identical to plain serving)
+        from fastllama_tpu.runtime.spec_multihost import MultiHostSpecEngine
+        eng = MultiHostSpecEngine.load_spec(
+            ckpt, tokp, FileType.LLAMA2C, QuantType.INT8, ec,
+            decode_chunk=4, width=4, rounds_per_chunk=2, spec_auto=False)
+        assert eng._spec_on, "spec path must engage in the 2-process test"
+    else:
+        eng = MultiHostEngine.load(
+            ckpt, tokp, FileType.LLAMA2C, QuantType.INT8, ec,
+            decode_chunk=4)
     if spmd:
         assert eng._spmd, "spmd path must engage in the 2-process test"
     reqs = eng.generate_all(PROMPTS[rank], max_new_tokens=6,
@@ -57,14 +72,16 @@ def main() -> None:
 
     hit_outputs, hits, rows = [], 0, 0
     if spmd:
-        # phase 2: lockstep hit wave (both ranks run the SAME schedule)
+        # phase 2: lockstep batched hit wave (both ranks run the SAME
+        # schedule; both of a rank's hits admit in ONE k=2 collective)
         donor = eng.submit(PREFIX_DONOR, max_new_tokens=12, stop_tokens=())
         eng.step()                      # admit donor; registers its prefix
-        hit = eng.submit(PREFIX_DONOR[:16] + PREFIX_TAILS[rank],
-                         max_new_tokens=4, stop_tokens=())
+        hreqs = [eng.submit(PREFIX_DONOR[:16] + t, max_new_tokens=4,
+                            stop_tokens=())
+                 for t in (PREFIX_TAILS[rank], PREFIX_TAILS2[rank])]
         eng.run()
-        assert donor.done and hit.done
-        hit_outputs = [hit.output_tokens]
+        assert donor.done and all(h.done for h in hreqs)
+        hit_outputs = [h.output_tokens for h in hreqs]
         hits, rows = eng.stats.prefix_hits, eng.stats.prefix_rows_reused
 
     gstats = eng.global_stats()
@@ -74,6 +91,7 @@ def main() -> None:
                    "hit_outputs": hit_outputs,
                    "prefix_hits": hits, "prefix_rows": rows,
                    "completed": eng.stats.completed,
+                   "spec_drafted": getattr(eng, "spec_drafted", 0),
                    "global_completed": gstats.completed,
                    "global_decode_tokens": gstats.decode_tokens}, f)
 

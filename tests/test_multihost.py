@@ -52,13 +52,15 @@ def test_multihost_engine_single_process(tmp_path):
     assert eng.stats.completed == 3
 
 
-@pytest.mark.parametrize("spmd", ["0", "1"])
+@pytest.mark.parametrize("spmd", ["0", "1", "spec"])
 def test_multihost_two_processes(tmp_path, spmd):
     """Spawn 2 jax.distributed CPU processes (2 virtual devices each,
     mesh data=2 x model=2); each serves its own prompts; greedy outputs
     must equal the single-process reference.  ``spmd=1`` runs the
     production hot path: spmd_kernels + interpret-mode Pallas under
-    shard_map with data-sharded slots (VERDICT r2 #1)."""
+    shard_map with data-sharded slots (VERDICT r2 #1); ``spec`` serves
+    through MultiHostSpecEngine — lockstep batched-speculation rounds on
+    the same shard_map path (VERDICT r3 #1)."""
     from fastllama_tpu.tools.synthetic import write_tiny_llama2c
     from tests.multihost_worker import PROMPTS
 
@@ -90,17 +92,23 @@ def test_multihost_two_processes(tmp_path, spmd):
     got = results[0]["outputs"] + results[1]["outputs"]
     assert got == want
     assert results[0]["completed"] == results[1]["completed"] >= 2
-    if spmd == "1":
-        # phase-2 prefix hit: each host admitted one request through the
-        # collective hit wave; its tokens must equal a full prefill's
-        from tests.multihost_worker import PREFIX_DONOR, PREFIX_TAILS
+    if spmd in ("1", "spec"):
+        # phase-2 prefix hits: each host admitted TWO requests through ONE
+        # batched collective hit wave; tokens must equal full prefills'
+        from tests.multihost_worker import (PREFIX_DONOR, PREFIX_TAILS,
+                                            PREFIX_TAILS2)
         for rank in (0, 1):
-            assert results[rank]["prefix_hits"] == 1
-            assert results[rank]["prefix_rows"] == 16
-        hit_prompts = [PREFIX_DONOR[:16] + PREFIX_TAILS[r] for r in (0, 1)]
-        want_hits = _reference_outputs(ckpt, tokp, hit_prompts, max_new=4)
-        assert [results[0]["hit_outputs"][0],
-                results[1]["hit_outputs"][0]] == want_hits
+            assert results[rank]["prefix_hits"] == 2
+            assert results[rank]["prefix_rows"] == 32
+            hit_prompts = [PREFIX_DONOR[:16] + PREFIX_TAILS[rank],
+                           PREFIX_DONOR[:16] + PREFIX_TAILS2[rank]]
+            want_hits = _reference_outputs(ckpt, tokp, hit_prompts,
+                                           max_new=4)
+            assert results[rank]["hit_outputs"] == want_hits
+    if spmd == "spec":
+        # the speculative verify rounds actually ran on both hosts
+        assert results[0]["spec_drafted"] > 0
+        assert results[1]["spec_drafted"] > 0
     # cross-host aggregate stats agree on both ranks and cover all jobs
     assert results[0]["global_completed"] == results[1]["global_completed"]
     assert results[0]["global_completed"] >= 4
@@ -189,20 +197,22 @@ def test_multihost_single_process_int8_kv_spmd(tmp_path):
 def test_multihost_prefix_cache_spmd(tmp_path):
     """Host-local prefix cache through the collective hit wave
     (spmd_prefill_tail_hits) on a single-process data=1 x model=2 mesh:
-    the hit admission's tokens must equal a full prefill's, and the hit
-    counters must show the donor rows were reused."""
+    TWO planned hits admit in ONE batched wave (k=2, VERDICT r3 Weak #4),
+    their tokens equal a full prefill's, and the hit counters show the
+    donor rows were reused."""
     from fastllama_tpu.runtime.multihost import MultiHostEngine
     from fastllama_tpu.tools.synthetic import write_tiny_llama2c
 
     ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=CFG)
     donor_prompt = list(range(3, 35))                  # 32 tokens
-    hit_prompt = donor_prompt[:16] + [40, 41, 42]
+    hit_prompts = [donor_prompt[:16] + [40, 41, 42],
+                   donor_prompt[:16] + [44, 45]]
 
-    want = _reference_outputs(ckpt, tokp, [hit_prompt], max_new=4)[0]
+    want = _reference_outputs(ckpt, tokp, hit_prompts, max_new=4)
 
     eng = MultiHostEngine.load(
         ckpt, tokp, FileType.LLAMA2C, QuantType.INT8,
-        EngineConfig(max_seq_len=64, max_batch_size=2,
+        EngineConfig(max_seq_len=64, max_batch_size=3,
                      compute_dtype="float32", mesh="data=1,model=2",
                      spmd_kernels=True, pallas_interpret=True,
                      prefix_cache=True),
@@ -210,12 +220,16 @@ def test_multihost_prefix_cache_spmd(tmp_path):
     assert eng._spmd and eng._prefix_enabled
     donor = eng.submit(donor_prompt, max_new_tokens=12, stop_tokens=())
     eng.step()                          # admit donor; registers its prefix
-    hit = eng.submit(hit_prompt, max_new_tokens=4, stop_tokens=())
+    hits = [eng.submit(p, max_new_tokens=4, stop_tokens=())
+            for p in hit_prompts]
+    eng.step()                          # ONE lockstep round admits both
+    assert eng.stats.prefix_hits == 2, "both hits must land in one round"
     eng.run()
-    assert donor.done and hit.done
-    assert hit.output_tokens == want
-    assert eng.stats.prefix_hits == 1
-    assert eng.stats.prefix_rows_reused == 16
+    assert donor.done and all(h.done for h in hits)
+    assert [h.output_tokens for h in hits] == want
+    assert eng.stats.prefix_rows_reused == 32
+    # both tails bucket together -> exactly one (bucket, k=2) program
+    assert any(k[1] == 2 for k in eng._tail_fns), eng._tail_fns.keys()
 
 
 def test_multihost_qos(tmp_path):

@@ -1,0 +1,129 @@
+"""Chip-scale QoS/TTFT benchmark: high-priority TTFT under a saturating
+low-priority load, with and without ``qos_chunk`` (VERDICT r3 Weak #5: the
+QoS machinery had tests but no measured latency numbers).
+
+A full batch of long low-priority jobs decodes continuously; short
+high-priority probes are injected between scheduler rounds.  Without
+``qos_chunk`` a probe waits for the running decode chunk (up to
+decode_chunk tokens of work) before its admission wave can run; with
+``qos_chunk=q`` the engine caps chunks at q steps while anything queues,
+bounding queued TTFT at roughly one short chunk + one prefill.  The tool
+prints p50/p95 probe TTFT and the aggregate-throughput cost of the shorter
+chunks, for both the single-host BatchedEngine and the (single-process)
+lockstep MultiHostEngine.
+
+Usage: python tools/qos_bench.py
+Env: QB_CONFIG=7b|1b|110m, QB_BATCH (32), QB_SEQ (512), QB_CHUNK (64),
+QB_QOS ("0,8"), QB_PROBES (8), QB_ENGINE=batched|multihost|both, QB_KV
+(int8).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from fastllama_tpu.config import EngineConfig  # noqa: E402
+from fastllama_tpu.loaders.tokenizer import Tokenizer  # noqa: E402
+from fastllama_tpu.models.llama import fuse_params, random_params_int  # noqa: E402
+from tools.spec_batch_ab import CONFIGS  # noqa: E402
+
+
+def run_load(eng, batch, n_probes, low_tokens=256, probe_tokens=8):
+    """Saturate the engine with low-priority jobs, inject one high-priority
+    probe every few scheduler rounds, return (probe TTFTs, aggregate)."""
+    low = ([7, 121, 3088, 59] * 11)[:43]
+    hi = [9, 17, 25]
+    # one extra queued low-priority job per probe keeps the batch full AND
+    # the queue non-empty (qos_chunk only binds while something queues)
+    for _ in range(batch + n_probes):
+        eng.submit(low, max_new_tokens=low_tokens, temperature=0.0,
+                   stop_tokens=())
+    # warm all compile paths (decode chunks at both bounds + probe prefill)
+    eng.step()
+    w = eng.submit(hi, max_new_tokens=probe_tokens, temperature=0.0,
+                   stop_tokens=(), priority=5)
+    while not w.done:
+        eng.step()
+    eng.stats.decode_s = eng.stats.prefill_s = 0.0
+    eng.stats.total_output_tokens = eng.stats.decode_tokens = 0
+
+    probes = []
+    rounds = 0
+    more = True
+    while more or probes and not probes[-1].done:
+        more = eng.step()
+        rounds += 1
+        if rounds % 4 == 0 and len(probes) < n_probes:
+            probes.append(eng.submit(hi, max_new_tokens=probe_tokens,
+                                     temperature=0.0, stop_tokens=(),
+                                     priority=5))
+    while any(not p.done for p in probes):
+        eng.step()
+    ttfts = [p.ttft for p in probes]
+    return ttfts, eng.stats.aggregate_tps
+
+
+def main():
+    name = os.environ.get("QB_CONFIG", "7b")
+    batch = int(os.environ.get("QB_BATCH", "32"))
+    seq = int(os.environ.get("QB_SEQ", "512"))
+    chunk = int(os.environ.get("QB_CHUNK", "64"))
+    qos_list = [int(q) for q in os.environ.get("QB_QOS", "0,8").split(",")]
+    n_probes = int(os.environ.get("QB_PROBES", "8"))
+    which = os.environ.get("QB_ENGINE", "both")
+    kv = os.environ.get("QB_KV", "int8")
+
+    cfg = CONFIGS[name].replace(max_seq_len=seq)
+    tok = Tokenizer().finalize()
+    params = fuse_params(cfg, random_params_int(cfg, seed=0))
+    jax.block_until_ready(params.wq.data)
+
+    results = []
+    for engine in (["batched", "multihost"] if which == "both"
+                   else [which]):
+        for q in qos_list:
+            ec = EngineConfig(max_seq_len=seq, kv_dtype=kv,
+                              max_batch_size=batch, fuse_weights=False,
+                              qos_chunk=q,
+                              mesh="data=1,model=1"
+                              if engine == "multihost" else "")
+            if engine == "multihost":
+                from fastllama_tpu.runtime.multihost import MultiHostEngine
+                eng = MultiHostEngine(cfg, params, tok, ec,
+                                      decode_chunk=chunk)
+            else:
+                from fastllama_tpu.runtime.batching import BatchedEngine
+                eng = BatchedEngine(cfg, params, tok, ec,
+                                    decode_chunk=chunk)
+            t0 = time.perf_counter()
+            ttfts, agg = run_load(eng, batch, n_probes)
+            row = {"engine": engine, "qos_chunk": q,
+                   "probe_ttft_p50_ms": round(
+                       1000 * float(np.percentile(ttfts, 50)), 1),
+                   "probe_ttft_p95_ms": round(
+                       1000 * float(np.percentile(ttfts, 95)), 1),
+                   "probes": len(ttfts),
+                   "aggregate_tok_s": round(agg, 1),
+                   "wall_s": round(time.perf_counter() - t0, 1)}
+            results.append(row)
+            print(json.dumps(row))
+            del eng
+            import gc
+            gc.collect()
+            jax.clear_caches()
+            gc.collect()
+    print(json.dumps({"summary": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -10,7 +10,11 @@ aggregate decode tok/s + measured acceptance.
 Run on the TPU:  python tools/spec_batch_ab.py
 Env: SB_CONFIG=7b|1b|110m, SB_BATCH (default 32), SB_TOKENS (default 128),
 SB_SEQ (default 512), SB_KV (default int8), SB_ENGINE=both|plain|spec,
-SB_WIDTH (default 4: draft depth D).
+SB_WIDTH (default 4: draft depth D), SB_ROUNDS (8), SB_SPMD=1 (run the
+spec engine's shard_map verify path over a 1-device mesh — the spmd
+program A/B'd against plain on one chip), SB_AUTO=1 (SpecAutoTuner on:
+the never-lose arbitration), SB_MULTIHOST=1 (serve through the lockstep
+MultiHostSpecEngine instead).
 """
 import json
 import os
@@ -77,22 +81,37 @@ def main():
     tok = Tokenizer().finalize()
     prompt = ([7, 121, 3088, 59] * 11)[:43]        # periodic: drafter's case
 
+    spmd = os.environ.get("SB_SPMD", "") == "1"
+    auto = os.environ.get("SB_AUTO", "") == "1"
+    multihost = os.environ.get("SB_MULTIHOST", "") == "1"
     params = fuse_params(cfg, random_params_int(cfg, seed=0))
     jax.block_until_ready(params.wq.data)
     ec = EngineConfig(max_seq_len=seq, kv_dtype=kv, max_batch_size=batch,
-                      fuse_weights=False)
+                      fuse_weights=False,
+                      mesh="data=1,model=1" if (spmd or multihost) else "",
+                      spmd_kernels=spmd)
 
-    out = {"config": name, "batch": batch, "width": width}
+    out = {"config": name, "batch": batch, "width": width, "spmd": spmd,
+           "auto": auto, "multihost": multihost}
+    rounds = int(os.environ.get("SB_ROUNDS", "8"))
     if which in ("both", "plain"):
         from fastllama_tpu.runtime.batching import BatchedEngine
         eng = BatchedEngine(cfg, params, tok, ec, decode_chunk=64)
         out["plain_tok_s"] = round(drive(eng, prompt, batch, n_tokens), 1)
         del eng
     if which in ("both", "spec"):
-        from fastllama_tpu.runtime.spec_batching import SpecBatchedEngine
-        eng = SpecBatchedEngine(cfg, params, tok, ec, width=width,
-                                rounds_per_chunk=int(
-                                    os.environ.get("SB_ROUNDS", "8")))
+        if multihost:
+            from fastllama_tpu.runtime.spec_multihost import \
+                MultiHostSpecEngine
+            eng = MultiHostSpecEngine(cfg, params, tok, ec, width=width,
+                                      rounds_per_chunk=rounds,
+                                      spec_auto=auto)
+        else:
+            from fastllama_tpu.runtime.spec_batching import SpecBatchedEngine
+            eng = SpecBatchedEngine(cfg, params, tok, ec, width=width,
+                                    rounds_per_chunk=rounds, spec_auto=auto)
+        if spmd:
+            assert eng._spmd, "spmd path must engage for the SB_SPMD A/B"
         out["spec_tok_s"] = round(drive(eng, prompt, batch, n_tokens), 1)
         out["acceptance"] = round(eng.acceptance, 3)
         del eng

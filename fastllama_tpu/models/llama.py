@@ -176,19 +176,31 @@ def forward(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array, pos,
         """write_kv(k, v) appends the new rows and returns the full layer
         cache slices to attend over.  ``proj(h, w)`` is the projection op —
         either mm over a sliced (I, O) weight or a layer-indexed kernel over
-        the full (L, I, O) stack."""
+        the full (L, I, O) stack.  When the projection advertises
+        ``supports_fusion`` (make_mm_indexed), the per-layer elementwise
+        glue — the two rmsnorms and the two residual adds — folds into the
+        matmul kernels as prologue/epilogue instead of standalone VPU ops
+        between kernel launches (the ~0.4 ms/step decode epilogue named in
+        NEXT.md round-4 #3)."""
         proj = proj or mm
+        fuse_glue = getattr(proj, "supports_fusion", False)
         (attn_norm_l, wq_l, wk_l, wv_l, wo_l,
          ffn_norm_l, w1_l, w2_l, w3_l) = weights_l
 
-        h = rmsnorm(x, attn_norm_l, cfg.norm_eps)
-        if fused:
-            qkv = proj(h, wq_l)                       # (T, qdim+2*kvdim)
+        if fused and fuse_glue:
+            qkv = proj(x, wq_l, norm_gain=attn_norm_l, eps=cfg.norm_eps)
             q = qkv[:, :qdim]
             k = qkv[:, qdim:qdim + kvdim]
             v = qkv[:, qdim + kvdim:]
         else:
-            q, k, v = proj(h, wq_l), proj(h, wk_l), proj(h, wv_l)
+            h = rmsnorm(x, attn_norm_l, cfg.norm_eps)
+            if fused:
+                qkv = proj(h, wq_l)                   # (T, qdim+2*kvdim)
+                q = qkv[:, :qdim]
+                k = qkv[:, qdim:qdim + kvdim]
+                v = qkv[:, qdim + kvdim:]
+            else:
+                q, k, v = proj(h, wq_l), proj(h, wk_l), proj(h, wv_l)
         q = q.reshape(T, n_heads, hs).transpose(1, 0, 2)
         k = k.reshape(T, n_kv, hs).transpose(1, 0, 2)
         v = v.reshape(T, n_kv, hs).transpose(1, 0, 2)
@@ -199,15 +211,25 @@ def forward(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array, pos,
         kc_l, vc_l = write_kv(k, v)
         o = (attn_fn or attn)(q, kc_l, vc_l, pos)               # (H, T, hs)
         o = o.transpose(1, 0, 2).reshape(T, n_heads * hs)
-        x = x + proj(o, wo_l)
+        if fuse_glue:
+            x = proj(o, wo_l, residual=x)
+        else:
+            x = x + proj(o, wo_l)
 
-        h = rmsnorm(x, ffn_norm_l, cfg.norm_eps)
-        if fused:
-            g13 = proj(h, w1_l)                       # (T, 2*hidden)
+        if fused and fuse_glue:
+            g13 = proj(x, w1_l, norm_gain=ffn_norm_l, eps=cfg.norm_eps)
             hd = swiglu(g13[:, :hdim], g13[:, hdim:])
         else:
-            hd = swiglu(proj(h, w1_l), proj(h, w3_l))
-        x = x + proj(hd, w2_l)
+            h = rmsnorm(x, ffn_norm_l, cfg.norm_eps)
+            if fused:
+                g13 = proj(h, w1_l)                   # (T, 2*hidden)
+                hd = swiglu(g13[:, :hdim], g13[:, hdim:])
+            else:
+                hd = swiglu(proj(h, w1_l), proj(h, w3_l))
+        if fuse_glue:
+            x = proj(hd, w2_l, residual=x)
+        else:
+            x = x + proj(hd, w2_l)
         return x
 
     weight_xs = (params.attn_norm, params.wq, params.wk, params.wv, params.wo,
@@ -254,8 +276,9 @@ def forward(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array, pos,
                 captured["k"], captured["v"] = ck2, cv2
                 return ck2, cv2
 
-            def proj(h, w_full):
-                return mm_idx(h, w_full, l)
+            def proj(h, w_full, **kw):
+                return mm_idx(h, w_full, l, **kw)
+            proj.supports_fusion = getattr(mm_idx, "supports_fusion", False)
 
             def attn_fn(q, ckf, cvf, p):
                 return attn_idx(q, ckf, cvf, p, l)
@@ -282,8 +305,9 @@ def forward(cfg: ModelConfig, params: LlamaParams, tokens: jax.Array, pos,
             weights_l = (attn_norm_l, wq_s, wk_s, wv_s, wo_s,
                          ffn_norm_l, w1_s, w2_s, w3_s)
 
-            def proj(h, w_full):
-                return mm_idx(h, w_full, l)
+            def proj(h, w_full, **kw):
+                return mm_idx(h, w_full, l, **kw)
+            proj.supports_fusion = getattr(mm_idx, "supports_fusion", False)
 
             new_kc = {}
 

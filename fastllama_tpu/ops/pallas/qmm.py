@@ -458,6 +458,66 @@ def _qmm_kernel_idx(l_ref, x_ref, w_ref, s_ref, o_ref, *, gs: int, wide: bool,
     o_ref[:] += _qmm_chunk(x_ref[:], w, s, gs, wide)
 
 
+def _qmm_kernel_idx_fused(l_ref, *refs, gs: int, wide: bool,
+                          k_inner: int = 0, has_norm: bool, has_res: bool,
+                          eps: float = 1e-5):
+    """Layer-indexed kernel with the decode-scan glue folded in:
+
+    * ``has_norm``: the rmsnorm that feeds this projection runs as a kernel
+      PROLOGUE on the (TT, I) activation block (requires TK == I so the
+      whole row is visible) — removes one standalone VPU op + its
+      activation round trip per projection per layer;
+    * ``has_res``: the residual-add that consumes this projection runs as
+      the kernel EPILOGUE (the accumulator initializes from the residual
+      block instead of zeros) — removes the separate add.
+
+    Together these fold the scan's per-layer elementwise glue (the ~0.4 ms
+    /step VPU epilogue named in NEXT.md round-4 #3) into the matmuls whose
+    weight streams already hide it."""
+    i = 0
+    x_ref = refs[i]; i += 1                                    # noqa: E702
+    g_ref = None
+    if has_norm:
+        g_ref = refs[i]; i += 1                                # noqa: E702
+    r_ref = None
+    if has_res:
+        r_ref = refs[i]; i += 1                                # noqa: E702
+    w_ref, s_ref, o_ref = refs[i], refs[i + 1], refs[i + 2]
+
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        if r_ref is not None:
+            o_ref[:] = r_ref[:].astype(jnp.float32)
+        else:
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+    x = x_ref[:]
+    if g_ref is not None:
+        # same f32 math as ops/norms.rmsnorm, then back to the activation
+        # dtype the unfused path would have fed the matmul
+        xf = x.astype(jnp.float32)
+        m = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        x = (xf * jax.lax.rsqrt(m + eps) * g_ref[:].astype(jnp.float32)
+             ).astype(x.dtype)
+
+    w = w_ref[0]
+    s = s_ref[0]
+    TK = w.shape[0]
+    if k_inner and k_inner < TK and TK % k_inner == 0:
+        acc = o_ref[:]
+        for j in range(TK // k_inner):
+            acc += _qmm_chunk(
+                x[:, j * k_inner:(j + 1) * k_inner],
+                w[j * k_inner:(j + 1) * k_inner, :],
+                s[j * k_inner // gs:(j + 1) * k_inner // gs, :],
+                gs, wide)
+        o_ref[:] = acc
+        return
+    o_ref[:] += _qmm_chunk(x, w, s, gs, wide)
+
+
 def supported_indexed(x: jax.Array, w) -> bool:
     if not isinstance(w, QArray) or w.group_axis != -2:
         return False
@@ -481,18 +541,30 @@ def supported_indexed(x: jax.Array, w) -> bool:
 
 def qmatmul_pallas_indexed(x: jax.Array, w: QArray, layer,
                            compute_dtype=jnp.bfloat16,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           norm_gain=None, eps: float = 1e-5,
+                           residual=None) -> jax.Array:
     """``x @ w[layer]`` where ``w`` is the LAYER-STACKED QArray (L, I, O) and
     ``layer`` a traced scalar.  The kernel's index_map selects the layer via
     scalar prefetch, so the stacked weight buffer is read directly from HBM —
     no XLA dynamic-slice copy (which profiling showed costs ~50% of decode
-    when scanning over stacked weights)."""
+    when scanning over stacked weights).
+
+    ``norm_gain``/``residual`` fold the adjacent scan glue into the kernel
+    (see _qmm_kernel_idx_fused): ``norm_gain`` (I,) runs rmsnorm(x) as a
+    prologue (needs a full-K tiling; silently applied outside otherwise),
+    ``residual`` (T, O) initializes the accumulator (out = residual + x@w)."""
     T, I = x.shape
     L, _, O = w.data.shape
     gs = w.group_size
     l_arr = jnp.asarray(layer, jnp.int32).reshape(1)
 
     if getattr(w, "packed", False):
+        # packed INT4 is VPU-bound already — apply the glue outside
+        if norm_gain is not None:
+            from fastllama_tpu.ops.norms import rmsnorm
+            x = rmsnorm(x, norm_gain, eps)
+            norm_gain = None
         Ih = I // 2
         TT, TO, TKp = _pick_tiles_packed(T, O, Ih, gs)
         KHB = Ih // TKp
@@ -534,6 +606,57 @@ def qmatmul_pallas_indexed(x: jax.Array, w: QArray, layer,
     wide = (w.qtype == QuantType.INT16
             or jnp.dtype(compute_dtype) == jnp.float32)
 
+    if norm_gain is not None and TK != I:
+        # the prologue norm needs the whole activation row in the block;
+        # sliced-K tilings apply it outside (still one fewer residual op)
+        from fastllama_tpu.ops.norms import rmsnorm
+        x = rmsnorm(x, norm_gain, eps)
+        norm_gain = None
+
+    if norm_gain is not None or residual is not None:
+        has_norm = norm_gain is not None
+        has_res = residual is not None
+        kernel = functools.partial(
+            _qmm_kernel_idx_fused, gs=gs, wide=wide,
+            k_inner=_auto_k_inner(0, TK, gs), has_norm=has_norm,
+            has_res=has_res, eps=eps)
+        in_specs = [pl.BlockSpec((TT, TK), lambda t, o, k, l: (t, k),
+                                 memory_space=pltpu.VMEM)]
+        args = [x]
+        if has_norm:
+            in_specs.append(pl.BlockSpec((1, TK), lambda t, o, k, l: (0, k),
+                                         memory_space=pltpu.VMEM))
+            args.append(norm_gain.reshape(1, I))
+        if has_res:
+            in_specs.append(pl.BlockSpec((TT, TO), lambda t, o, k, l: (t, o),
+                                         memory_space=pltpu.VMEM))
+            args.append(residual)
+        in_specs += [
+            pl.BlockSpec((1, TK, TO), lambda t, o, k, l: (l[0], k, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TK // gs, TO), lambda t, o, k, l: (l[0], k, o),
+                         memory_space=pltpu.VMEM),
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(T // TT, O // TO, I // TK),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((TT, TO), lambda t, o, k, l: (t, o),
+                                   memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((T, O), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * T * O * I,
+                bytes_accessed=O * I * w.data.dtype.itemsize
+                + O * I // gs * 4 + T * I * x.dtype.itemsize + T * O * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(l_arr, *args, w.data, w.scales)
+        return out.astype(x.dtype)
+
     kernel = functools.partial(_qmm_kernel_idx, gs=gs, wide=wide,
                                k_inner=_auto_k_inner(0, TK, gs))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -565,15 +688,28 @@ def qmatmul_pallas_indexed(x: jax.Array, w: QArray, layer,
 
 
 def make_mm_indexed(compute_dtype=jnp.bfloat16, interpret: bool = False):
-    """mm_idx(x, w_stacked, layer) for models.llama.forward scan mode."""
+    """mm_idx(x, w_stacked, layer) for models.llama.forward scan mode.
+
+    The returned callable accepts the fusion kwargs ``norm_gain``/``eps``/
+    ``residual`` (see qmatmul_pallas_indexed) and advertises it via
+    ``mm_idx.supports_fusion`` — callers that fold the scan glue into the
+    kernel check the flag and fall back to separate ops otherwise."""
     from fastllama_tpu.ops.qmatmul import qmatmul
 
-    def mm_idx(x, w, layer):
+    def mm_idx(x, w, layer, norm_gain=None, eps: float = 1e-5,
+               residual=None):
         if isinstance(w, QArray) and x.ndim == 2 and supported_indexed(x, w):
-            return qmatmul_pallas_indexed(x, w, layer, compute_dtype, interpret)
-        return qmatmul(x, w[layer] if isinstance(w, QArray) else
-                       jnp.take(w, layer, axis=0), compute_dtype)
+            return qmatmul_pallas_indexed(x, w, layer, compute_dtype,
+                                          interpret, norm_gain=norm_gain,
+                                          eps=eps, residual=residual)
+        if norm_gain is not None:
+            from fastllama_tpu.ops.norms import rmsnorm
+            x = rmsnorm(x, norm_gain, eps)
+        out = qmatmul(x, w[layer] if isinstance(w, QArray) else
+                      jnp.take(w, layer, axis=0), compute_dtype)
+        return out if residual is None else residual + out
 
+    mm_idx.supports_fusion = True
     return mm_idx
 
 

@@ -219,3 +219,79 @@ def test_int4_unpack_modes_identical(mode):
                 refL[l])
     finally:
         qmm_mod._INT4_UNPACK = old
+
+
+@pytest.mark.parametrize("T,O,I,norm,res", [
+    (1, 768, 256, True, False),     # full-K: in-kernel rmsnorm prologue
+    (1, 512, 256, False, True),     # residual epilogue only
+    (1, 768, 256, True, True),      # both (the decode-scan glue fusion)
+    (4, 512, 2048, True, True),     # K-blocked: norm falls back outside,
+                                    # residual still fuses at k==0
+])
+def test_qmm_indexed_fused_glue(T, O, I, norm, res):
+    """Fused rmsnorm-prologue / residual-epilogue (the decode-scan glue,
+    models/llama.layer_fn) vs the separate-ops reference."""
+    from fastllama_tpu.ops.norms import rmsnorm
+    from fastllama_tpu.ops.pallas.qmm import qmatmul_pallas_indexed
+    from fastllama_tpu.quant.groupquant import quantize
+
+    rng = np.random.default_rng(5)
+    L = 3
+    ws, qs = [], []
+    for l in range(L):
+        w = jnp.asarray(rng.normal(size=(O, I)) * 0.05, jnp.float32)
+        q = quantize(w, QuantType.INT8, 64)
+        ws.append(q.data.T)
+        qs.append(q.scales.T)
+    wL = QArray(jnp.stack(ws), jnp.stack(qs), QuantType.INT8, 64,
+                group_axis=-2)
+    x = jnp.asarray(rng.normal(size=(T, I)), jnp.bfloat16)
+    g = jnp.asarray(rng.normal(size=(I,)) * 0.1 + 1.0, jnp.float32)
+    r = jnp.asarray(rng.normal(size=(T, O)), jnp.bfloat16)
+
+    for l in (0, 2):
+        h = rmsnorm(x, g, 1e-5) if norm else x
+        ref = qmatmul_pallas_indexed(h, wL, l, interpret=True)
+        if res:
+            ref = (r.astype(jnp.float32)
+                   + ref.astype(jnp.float32)).astype(jnp.bfloat16)
+        got = qmatmul_pallas_indexed(
+            x, wL, l, interpret=True,
+            norm_gain=g if norm else None, eps=1e-5,
+            residual=r if res else None)
+        # bf16 double-rounding differs between the in-kernel f32 norm and
+        # the standalone rmsnorm -> cast path; tolerance covers it
+        np.testing.assert_allclose(
+            np.asarray(got, jnp.float32), np.asarray(ref, jnp.float32),
+            rtol=3e-2, atol=5e-2)
+
+
+def test_forward_fused_glue_matches_unfused():
+    """models/llama.forward with a fusion-capable mm_idx equals the plain
+    separate-ops path (the engines' correctness contract)."""
+    from fastllama_tpu.config import ModelConfig
+    from fastllama_tpu.models.llama import (KVCache, forward,
+                                            random_params_int)
+    from fastllama_tpu.ops.pallas.qmm import make_mm, make_mm_indexed
+
+    cfg = ModelConfig(dim=256, hidden_dim=512, n_layers=2, n_heads=4,
+                      n_kv_heads=4, vocab_size=512, max_seq_len=64,
+                      group_size=64)
+    params = random_params_int(cfg, seed=3)
+    toks = jnp.asarray([1, 5, 9], jnp.int32)
+
+    def run(mm_idx):
+        cache = KVCache.create(cfg)
+        lg, _ = forward(cfg, params, toks, 0, cache,
+                        mm=make_mm(interpret=True),
+                        mm_idx=mm_idx, compute_dtype=jnp.float32)
+        return np.asarray(lg)
+
+    mm_idx = make_mm_indexed(compute_dtype=jnp.float32, interpret=True)
+    assert getattr(mm_idx, "supports_fusion", False)
+    fused = run(mm_idx)
+
+    def mm_idx_plain(x, w, layer):                # no fusion contract
+        return mm_idx(x, w, layer)
+    plain = run(mm_idx_plain)
+    np.testing.assert_allclose(fused, plain, rtol=5e-3, atol=5e-3)

@@ -106,8 +106,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prompts-tsv", action="store_true",
                    help="--prompts-file lines are 'priority<TAB>deadline_s"
                         "<TAB>prompt' (mixed QoS loads from one file)")
-    p.add_argument("--spec-width", type=int, default=8,
-                   help="speculation verify width D")
+    p.add_argument("--spec-width", type=int, default=0,
+                   help="speculation verify width D (0 = auto: 8 for "
+                        "single-stream --draft/--spec, 2 for --mode serve "
+                        "— at serving batch every extra verify row costs a "
+                        "full B-row forward, and D=2 measured fastest at "
+                        "7B B=32/S=512)")
     p.add_argument("--spec-rounds", type=int, default=32,
                    help="--mode serve --spec: speculative rounds per device "
                         "chunk; longer chunks amortize the per-chunk host "
@@ -131,6 +135,7 @@ def serve_mode(args) -> int:
                       prefix_cache=args.prefix_cache,
                       spmd_kernels=args.spmd_kernels,
                       qos_chunk=args.qos_chunk)
+    spec_width = args.spec_width or 2          # serve-mode auto default
     if args.multihost and args.spec:
         # batched speculation in the lockstep fleet: every host's shards
         # run the fused verify loop on their local slots
@@ -140,7 +145,7 @@ def serve_mode(args) -> int:
         eng = MultiHostSpecEngine.load_spec(
             args.checkpoint, args.tokenizer, FileType.parse(args.file_type),
             QuantType.parse(args.quant), ec, decode_chunk=args.decode_chunk,
-            width=args.spec_width, rounds_per_chunk=args.spec_rounds)
+            width=spec_width, rounds_per_chunk=args.spec_rounds)
     elif args.multihost:
         from fastllama_tpu.runtime.multihost import MultiHostEngine
         eng = MultiHostEngine.load(args.checkpoint, args.tokenizer,
@@ -154,7 +159,7 @@ def serve_mode(args) -> int:
         eng = SpecBatchedEngine.load_spec(
             args.checkpoint, args.tokenizer, FileType.parse(args.file_type),
             QuantType.parse(args.quant), ec, decode_chunk=args.decode_chunk,
-            width=args.spec_width, rounds_per_chunk=args.spec_rounds)
+            width=spec_width, rounds_per_chunk=args.spec_rounds)
     else:
         from fastllama_tpu.runtime.batching import BatchedEngine
         eng = BatchedEngine.load(args.checkpoint, args.tokenizer,
@@ -302,7 +307,7 @@ def main(argv=None) -> int:
             draft_eng = Engine.load(args.draft, args.tokenizer,
                                     FileType.parse(args.file_type), qtype, ec)
         spec = SpeculativeEngine(eng, draft=draft_eng,
-                                 width=args.spec_width)
+                                 width=args.spec_width or 8)
 
     profiler = None
     if args.profile_dir:

@@ -235,9 +235,15 @@ def pad_hidden_for_sharding(cfg: ModelConfig, weights: dict, model_parallel: int
 def shard_params(cfg: ModelConfig, mesh: Mesh, params: LlamaParams
                  ) -> LlamaParams:
     """device_put the params with TP shardings (weights flow host->devices
-    once, each device receiving only its shard)."""
+    once, each device receiving only its shard).  Fused params carry None
+    leaves (wk/wv/w3 after fuse_params) that param_shardings has no spec
+    for — map them through as None instead of letting tree_map reject the
+    prefix (fused layouts are only legal on 1-device meshes, where every
+    sharding is trivial anyway)."""
     shardings = param_shardings(cfg, mesh, params)
-    return jax.tree.map(jax.device_put, params, shardings)
+    return jax.tree.map(
+        lambda v, s: None if v is None else jax.device_put(v, s),
+        params, shardings, is_leaf=lambda v: v is None)
 
 
 def shard_cache(cfg: ModelConfig, mesh: Mesh, cache: KVCache,

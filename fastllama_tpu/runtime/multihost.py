@@ -87,8 +87,12 @@ _PLAN_NFIX = 4       # then: NB full-prefill counts, NB prefix-hit counts
 # max admissions per host per wave.  Each distinct (wave width, bucket)
 # pair compiles its own prefill program; capping the width bounds the
 # compile-key space to |buckets| * log2(cap)-ish while a backlog still
-# drains at cap*hosts prompts per step.
-_ADMIT_CAP = 8
+# drains at cap*hosts prompts per step.  MEASURED (1B INT8, 48 queued
+# 43-token prompts, one lockstep round, warm, v5e 2026-08-19): cap=8
+# 1.44 s, cap=16 1.17 s, cap=32 2.0 s of admission prefill — 16 drains a
+# 48-slot cold start fastest (fewer dispatches than 8, less wave padding
+# waste than 32).
+_ADMIT_CAP = 16
 
 # max prefix-cache hits per host per collective hit wave.  The tail flow
 # is unrolled k times inside one program (each hit's donor copy + layer

@@ -325,14 +325,19 @@ class SpecBatchedEngine(BatchedEngine):
         D = self.width
         greedy = all(self.slot_req[b].temperature <= 0.0 for b in live)
         room = self.S - int(self.pos.max()) - 1
-        min_budget = min(self.slot_req[b].max_new_tokens
+        # MAX budget over live slots, rounded up (the multihost SPECR rule):
+        # emit discards a finished slot's overshoot rows, so bounding by the
+        # longest remaining request keeps R pinned at self.R for the whole
+        # steady state — the old min-budget bound swept R down 16/8/4/2/1 as
+        # requests drained, compiling a fresh R-round whole-model scan at
+        # every stop (measured 525 s of warmup at 7B B=48 R=32)
+        max_budget = max(self.slot_req[b].max_new_tokens
                          - len(self.slot_req[b].output_tokens) for b in live)
-        R = min(self.R, room // D, max(1, min_budget // D))
+        R = min(self.R, room // D, max(1, -(-max_budget // D)))
         if R >= 1:
             # power-of-two bucketing, same reason as _plan_chunk's K: each
             # distinct (R, s_bound, greedy) compiles its own R-round
-            # whole-model scan; draining budgets would otherwise sweep R
-            # through every integer
+            # whole-model scan
             R = 1 << (R.bit_length() - 1)
         use_spec = R >= 1
         if use_spec and self._tuner is not None:

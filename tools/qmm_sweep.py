@@ -125,6 +125,18 @@ def main():
                      ("tk4096_to1024_ki512",
                       (min(256, T), 1024, 4096) if O % 1024 == 0 else None,
                       512)]
+        if not any(I % tk == 0 and (tk // 64) % 8 == 0
+                   for tk in (4096, 2048, 1024, 512)):
+            # non-dividing contraction (the unpadded 11008 w2): full-K is
+            # forced, but the auto TO (128, bounded by _W_TILE_BYTES) may be
+            # too narrow to stream well — try wider output tiles with
+            # chunked in-kernel dequant bounding the VMEM intermediates
+            for to in (512, 256):
+                if O % to == 0:
+                    variants.append((f"tkfull_to{to}_ki512",
+                                     (min(256, T), to, I), 512))
+            if O % 256 == 0:
+                variants.append(("tkfull_to256", (min(256, T), 256, I), 0))
         gd = [("groupdot_auto", None, 0)]
         if I % 4096 == 0:
             for to in (1024, 512, 256):

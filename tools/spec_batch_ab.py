@@ -84,12 +84,27 @@ def main():
     spmd = os.environ.get("SB_SPMD", "") == "1"
     auto = os.environ.get("SB_AUTO", "") == "1"
     multihost = os.environ.get("SB_MULTIHOST", "") == "1"
-    params = fuse_params(cfg, random_params_int(cfg, seed=0))
+    params = random_params_int(cfg, seed=0)
+    if not spmd:
+        # the shard_map TP body projects q/k/v separately — fused QKV /
+        # gate-up layouts are a non-spmd (single-program) optimization
+        params = fuse_params(cfg, params)
     jax.block_until_ready(params.wq.data)
     ec = EngineConfig(max_seq_len=seq, kv_dtype=kv, max_batch_size=batch,
                       fuse_weights=False,
                       mesh="data=1,model=1" if (spmd or multihost) else "",
                       spmd_kernels=spmd)
+
+    def clear_device():
+        # the next engine allocates its own multi-GB cache while the last
+        # one's buffers (pinned by cached executables + GC lag) are still
+        # resident: measured RESOURCE_EXHAUSTED at 7B/B=48 without the
+        # explicit drop (same fix as tools/deferred_ab.py).  The caller
+        # must `del eng` FIRST — its binding is what keeps the cache alive
+        import gc
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
 
     out = {"config": name, "batch": batch, "width": width, "spmd": spmd,
            "auto": auto, "multihost": multihost}
@@ -99,6 +114,7 @@ def main():
         eng = BatchedEngine(cfg, params, tok, ec, decode_chunk=64)
         out["plain_tok_s"] = round(drive(eng, prompt, batch, n_tokens), 1)
         del eng
+        clear_device()
     if which in ("both", "spec"):
         if multihost:
             from fastllama_tpu.runtime.spec_multihost import \
@@ -115,6 +131,7 @@ def main():
         out["spec_tok_s"] = round(drive(eng, prompt, batch, n_tokens), 1)
         out["acceptance"] = round(eng.acceptance, 3)
         del eng
+        clear_device()
     print(json.dumps(out))
 
 

@@ -183,8 +183,17 @@ def _pick_tiles(T: int, O: int, I: int, gs: int, itemsize: int):
             to = _pick_to(O, min(_MAX_TO, to_cap))
             if to:
                 return TT, to, tk
-    # full-K fallback: bound the weight tile bytes
+    # full-K fallback: bound the weight tile bytes.  For decode-shaped
+    # streams (tiny T) a TO=256 tile fits the 16 MB scoped-VMEM stack at
+    # the 11008 contraction and measured 723.8 GB/s vs 664.1 for the
+    # byte-capped TO=128 (96.5% vs 88.5% of the honest 750 ceiling;
+    # min-of-5 384-iter two-point, numerics pinned vs jnp — NEXT.md
+    # round-4 findings).  TO=512 OOMs scoped VMEM (22.96M > 16M) and
+    # TO=512+k_inner compiles but loses (632); wider T keeps the
+    # conservative cap — the prefill w2 stream is MXU-amortized anyway.
     to_cap = max(128, _W_TILE_BYTES // (I * itemsize) // 128 * 128)
+    if T <= 8:
+        to_cap = max(to_cap, 256)
     return TT, _pick_to(O, min(to_cap, _MAX_TO)), I
 
 

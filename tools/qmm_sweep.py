@@ -137,6 +137,16 @@ def main():
                                      (min(256, T), to, I), 512))
             if O % 256 == 0:
                 variants.append(("tkfull_to256", (min(256, T), 256, I), 0))
+            # small sliced-K tiles (e.g. tk=256 divides 11008 = 256*43)
+            # only legalize when the scale block keeps 8 sublanes —
+            # (tk/gs)%8==0 — which at the engine's gs=64 demands tk%512==0,
+            # impossible for 11008; kept here for other group sizes
+            for tk in (256, 128):
+                if I % tk == 0 and (tk // 64) % 8 == 0:
+                    for to in (2048, 1024):
+                        if O % to == 0:
+                            variants.append((f"tk{tk}_to{to}",
+                                             (min(256, T), to, tk), 0))
         gd = [("groupdot_auto", None, 0)]
         if I % 4096 == 0:
             for to in (1024, 512, 256):

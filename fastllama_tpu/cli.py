@@ -52,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kv-dtype", default="float32",
                    choices=["float32", "bfloat16", "int8"],
                    help="int8 = per-row-quantized cache (serve mode only)")
+    p.add_argument("--scale-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="group-scale storage for int8/int4 weights: "
+                        "bfloat16 halves the HBM scale stream with "
+                        "bit-identical bf16 decode math (the kernel casts "
+                        "scales to bf16 anyway); float32 keeps the loader/"
+                        "parity contract")
     p.add_argument("--parity", action="store_true",
                    help="bit-faithful reference math (slow)")
     p.add_argument("--no-pallas", action="store_true",
@@ -134,7 +141,8 @@ def serve_mode(args) -> int:
                       max_batch_size=args.batch,
                       prefix_cache=args.prefix_cache,
                       spmd_kernels=args.spmd_kernels,
-                      qos_chunk=args.qos_chunk)
+                      qos_chunk=args.qos_chunk,
+                      scale_dtype=args.scale_dtype)
     spec_width = args.spec_width or 2          # serve-mode auto default
     if args.multihost and args.spec:
         # batched speculation in the lockstep fleet: every host's shards
@@ -275,7 +283,8 @@ def main(argv=None) -> int:
     ec = EngineConfig(max_seq_len=args.max_seq_len, kv_dtype=args.kv_dtype,
                       use_pallas=not args.no_pallas, parity_mode=args.parity,
                       mesh=args.mesh, prefill_chunk=args.prefill_chunk,
-                      spmd_kernels=args.spmd_kernels)
+                      spmd_kernels=args.spmd_kernels,
+                      scale_dtype=args.scale_dtype)
     if args.detail or args.debug:
         print(f"checkpoint: {args.checkpoint}\nquant: {qtype.name}\n"
               f"temperature: {args.temperature}  top_p: {args.topp}",

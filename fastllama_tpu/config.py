@@ -144,6 +144,14 @@ class EngineConfig:
     fuse_weights: bool = True
     parity_mode: bool = False           # bit-faithful reference math (act-quant int dot)
     donate_cache: bool = True
+    # group-scale storage dtype for non-wide (int8/int4) weights:
+    # "bfloat16" halves the HBM scale stream (f32 scales are 1/16 of the
+    # int8 weight bytes at gs=64 — 416 MB of the 7B step's 7.15 GB) with
+    # BIT-IDENTICAL decode math, because the dequant kernel casts scales to
+    # bf16 before the multiply anyway (ops/pallas/qmm._qmm_chunk).  Off by
+    # default: parity_mode and the f32 jnp fallback dequantize in f32,
+    # where storage rounding would show.  INT16 always keeps f32.
+    scale_dtype: str = "float32"
     # deferred staged-KV decode chunks (BatchedEngine): fresh K/V rows of a
     # whole K-step decode chunk accumulate in a small exact-tile staging
     # buffer and land in the big cache with ONE spec_write per chunk,

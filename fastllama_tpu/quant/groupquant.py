@@ -104,6 +104,26 @@ class QArray:
                       self.group_size, self.group_axis, packed=False)
 
 
+def compress_scales(tree, dtype=jnp.bfloat16):
+    """Store group scales of every non-wide QArray in ``tree`` as ``dtype``
+    (serving option, EngineConfig.scale_dtype="bfloat16").
+
+    Bit-identical decode math for INT8/INT4: the Pallas dequant multiply
+    casts scales to bf16 anyway (ops/pallas/qmm._qmm_chunk), so only the
+    HBM storage narrows — the f32 scale stream is 1/16 of the int8 weight
+    bytes at gs=64 (416 MB of the 7B serving step's 7.15 GB).  INT16 keeps
+    f32: its wide path dequantizes in f32, where scale rounding would cost
+    real precision.  Non-QArray leaves pass through untouched."""
+    def conv(x):
+        if isinstance(x, QArray) and x.qtype != QuantType.INT16:
+            return QArray(x.data, x.scales.astype(dtype), x.qtype,
+                          x.group_size, x.group_axis, x.packed)
+        return x
+
+    return jax.tree.map(conv, tree,
+                        is_leaf=lambda x: isinstance(x, QArray))
+
+
 def _check(n: int, gs: int) -> None:
     if n % gs != 0:
         raise ValueError(f"last dim {n} not a multiple of group_size {gs}")

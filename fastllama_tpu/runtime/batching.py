@@ -152,6 +152,9 @@ class BatchedEngine:
                 params = fuse_params(config, params)
             except ValueError:          # mixed INT4 pack layouts: keep unfused
                 ec = dataclasses.replace(ec, fuse_weights=False)
+        if ec.scale_dtype != "float32" and not ec.parity_mode:
+            from fastllama_tpu.quant.groupquant import compress_scales
+            params = compress_scales(params, jnp.dtype(ec.scale_dtype))
         self.params = params
         self.tokenizer = tokenizer
         self.ec = ec

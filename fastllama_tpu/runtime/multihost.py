@@ -148,9 +148,15 @@ class MultiHostEngine:
                     params = fuse_params(config, params)
                 except ValueError:
                     pass
+            if ec.scale_dtype != "float32" and not ec.parity_mode:
+                from fastllama_tpu.quant.groupquant import compress_scales
+                params = compress_scales(params, jnp.dtype(ec.scale_dtype))
             self.params = jax.device_put(params, mesh.devices.flat[0])
         else:
             from fastllama_tpu.parallel.sharding import shard_params
+            if ec.scale_dtype != "float32" and not ec.parity_mode:
+                from fastllama_tpu.quant.groupquant import compress_scales
+                params = compress_scales(params, jnp.dtype(ec.scale_dtype))
             self.params = shard_params(config, mesh, params)
 
         # slots: W per host = serving slots + 1 sink for padded admissions

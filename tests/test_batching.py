@@ -590,3 +590,41 @@ def test_prefix_hit_rejected_when_tail_bucket_overflows(tmp_path):
     o_pc, st_pc = run(True)
     assert st_pc.prefix_hits == 0       # refused, not mis-admitted
     assert o_pc == o_base
+
+
+def test_scale_dtype_bf16_matches_prerounded(ckpt):
+    """EngineConfig.scale_dtype="bfloat16" serving equals an f32-scale
+    engine whose scale VALUES were pre-rounded to bf16, token for token:
+    the kernels cast scales to bf16 before the dequant multiply either
+    way, and every jnp consumer upcasts bf16 scales exactly — so bf16
+    STORAGE (half the HBM scale stream) changes no math."""
+    from fastllama_tpu.quant.groupquant import QArray
+
+    ec = EngineConfig(max_seq_len=64, max_batch_size=2,
+                      compute_dtype="float32", scale_dtype="bfloat16")
+    eng_bf = BatchedEngine.load(ckpt[0], ckpt[1], FileType.LLAMA2C,
+                                QuantType.INT8, ec, decode_chunk=4)
+
+    eng_f32 = BatchedEngine.load(
+        ckpt[0], ckpt[1], FileType.LLAMA2C, QuantType.INT8,
+        EngineConfig(max_seq_len=64, max_batch_size=2,
+                     compute_dtype="float32"), decode_chunk=4)
+
+    def preround(x):
+        if isinstance(x, QArray):
+            return QArray(x.data,
+                          x.scales.astype(jnp.bfloat16).astype(jnp.float32),
+                          x.qtype, x.group_size, x.group_axis, x.packed)
+        return x
+
+    eng_f32.params = jax.tree.map(
+        preround, eng_f32.params,
+        is_leaf=lambda x: isinstance(x, QArray))
+
+    a = eng_bf.generate_all(PROMPTS[:2], max_new_tokens=10, temperature=0.0,
+                            stop_tokens=())
+    b = eng_f32.generate_all(PROMPTS[:2], max_new_tokens=10, temperature=0.0,
+                             stop_tokens=())
+    for ra, rb in zip(a, b):
+        assert ra.done and rb.done
+        assert ra.output_tokens == rb.output_tokens

@@ -295,3 +295,46 @@ def test_forward_fused_glue_matches_unfused():
         return mm_idx(x, w, layer)
     plain = run(mm_idx_plain)
     np.testing.assert_allclose(fused, plain, rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_qmm_bf16_scales_bit_identical(packed):
+    """bf16-STORED group scales are bit-identical to f32 storage on the
+    non-wide (int8/int4) path: the kernel casts scales to bf16 before the
+    dequant multiply anyway (_qmm_chunk), so halving the HBM scale stream
+    (serving: 416 MB/step f32 at 7B gs=64) is free numerics-wise."""
+    from fastllama_tpu.quant.groupquant import compress_scales
+    T, O, I = 4, 512, 2048 if packed else 256
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(T, I)), jnp.bfloat16)
+    if packed:
+        from fastllama_tpu.quant.groupquant import pack_int4_rows_np
+        w = make_qweight(O, I, QuantType.INT4, seed=3)
+        w = QArray(jnp.asarray(pack_int4_rows_np(np.asarray(w.data))),
+                   w.scales, QuantType.INT4, 64, -2, True)
+    else:
+        w = make_qweight(O, I, QuantType.INT8, seed=3)
+    # reference: f32 storage, scale values pre-rounded to bf16 (what the
+    # kernel computes with either way)
+    w_ref = QArray(w.data, w.scales.astype(jnp.bfloat16).astype(jnp.float32),
+                   w.qtype, w.group_size, -2, w.packed)
+    w_bf = compress_scales(w)
+    assert w_bf.scales.dtype == jnp.bfloat16
+    ref = qmatmul_pallas(x, w_ref, interpret=True)
+    got = qmatmul_pallas(x, w_bf, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_compress_scales_tree_and_wide_guard():
+    """compress_scales maps a params tree, skips INT16 (wide-path f32
+    dequant needs full scale precision), and is idempotent."""
+    from fastllama_tpu.quant.groupquant import compress_scales
+    w8 = make_qweight(256, 128, QuantType.INT8)
+    w16 = make_qweight(256, 128, QuantType.INT16)
+    tree = {"a": w8, "b": w16, "c": jnp.ones((4,))}
+    out = compress_scales(tree)
+    assert out["a"].scales.dtype == jnp.bfloat16
+    assert out["b"].scales.dtype == jnp.float32
+    assert out["c"].dtype == jnp.ones((4,)).dtype
+    again = compress_scales(out)
+    assert again["a"].scales.dtype == jnp.bfloat16

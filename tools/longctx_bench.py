@@ -53,9 +53,14 @@ def roofline(cfg, params, batch, kv_itemsize, mean_pos):
     return w_bytes, kv_bytes, batch * BW / (w_bytes + kv_bytes)
 
 
-def drive(eng, prompt, batch, n_tokens, warm_tokens=32):
+def drive(eng, prompt, batch, n_tokens):
+    # the warmup pass must cover the FULL position range: decode chunks
+    # compile per s_bound bucket, so a short warmup leaves every deeper
+    # bucket's compile INSIDE the timed region (first measured: plain
+    # "485", spec "166" at S=2048 — both numbers were mostly compile time;
+    # spec chunks are whole-model R-round scans that take minutes each)
     for _ in range(batch):
-        eng.submit(prompt, max_new_tokens=warm_tokens, temperature=0.0,
+        eng.submit(prompt, max_new_tokens=n_tokens, temperature=0.0,
                    stop_tokens=())
     t0 = time.perf_counter()
     eng.run()
@@ -106,10 +111,16 @@ def main():
         jax.clear_caches()
         gc.collect()
 
+    profile_dir = os.environ.get("LC_PROFILE", "")
+
     if which in ("both", "plain"):
         from fastllama_tpu.runtime.batching import BatchedEngine
         eng = BatchedEngine(cfg, params, tok, ec, decode_chunk=64)
-        tps, toks = drive(eng, prompt, batch, n_tokens)
+        if profile_dir:
+            with jax.profiler.trace(profile_dir):
+                tps, toks = drive(eng, prompt, batch, n_tokens)
+        else:
+            tps, toks = drive(eng, prompt, batch, n_tokens)
         out["plain_tok_s"] = round(tps, 1)
         out["plain_vs_roofline_pct"] = round(100 * tps / ceil, 1)
         print(f"plain: {tps:.1f} tok/s ({toks} tokens, "

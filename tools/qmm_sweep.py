@@ -41,6 +41,11 @@ from fastllama_tpu.quant.groupquant import QArray
 
 PEAK = float(os.environ.get("SWEEP_PEAK_GBS", "819"))
 QUANT = os.environ.get("SWEEP_QUANT", "int8")
+# group-scale storage dtype: the INT8 kernel casts scales to bf16 before the
+# dequant multiply anyway (_qmm_chunk), so bf16 STORAGE halves the scale
+# stream (1/16 of the int8 weight bytes at gs=64) with bit-identical math —
+# this knob A/Bs that (SWEEP_SCALE_DTYPE=bfloat16)
+SCALE_DTYPE = os.environ.get("SWEEP_SCALE_DTYPE", "float32")
 
 
 def bench_variant(I, O, T, iters, tiles, k_inner, gs=64, groupdot=False,
@@ -55,12 +60,12 @@ def bench_variant(I, O, T, iters, tiles, k_inner, gs=64, groupdot=False,
         # packed wire format: two int4 values per int8 lane, any byte works
         data = jax.jit(lambda k: jax.random.randint(
             k, (I // 2, O), -128, 128, jnp.int32).astype(jnp.int8))(key)
-        w = QArray(data, jnp.full((I // gs, O), 0.01, jnp.float32),
+        w = QArray(data, jnp.full((I // gs, O), 0.01, SCALE_DTYPE),
                    QuantType.INT4, gs, -2, True)
     else:
         data = jax.jit(lambda k: jax.random.randint(
             k, (I, O), -127, 128, jnp.int32).astype(jnp.int8))(key)
-        w = QArray(data, jnp.full((I // gs, O), 0.01, jnp.float32),
+        w = QArray(data, jnp.full((I // gs, O), 0.01, SCALE_DTYPE),
                    QuantType.INT8, gs, -2, False)
     jax.block_until_ready(data)   # dispatch before timing (cheap; see timed)
     x0 = jnp.asarray(rng.randn(T, I), jnp.bfloat16)
@@ -102,7 +107,8 @@ def bench_variant(I, O, T, iters, tiles, k_inner, gs=64, groupdot=False,
     d1, d3 = timed(iters), timed(3 * iters)
     dt = (d3 - d1) / 2
     wbytes = I * O // 2 if quant == "int4" else I * O
-    gb = iters * (wbytes + I * O // gs * 4) / 1e9
+    sbytes = I * O // gs * jnp.dtype(SCALE_DTYPE).itemsize
+    gb = iters * (wbytes + sbytes) / 1e9
     if dt <= 0:
         return float("nan")
     return gb / dt

@@ -51,11 +51,12 @@ CONFIGS = {
 BASELINE_TPS = {"7b": 25.0, "1b": 155.0, "110m": 440.0}  # reference README.md:98-100
 
 
-def bench_single(cfg, params, n_tokens, chunk, prompt):
+def bench_single(cfg, params, n_tokens, chunk, prompt, scales="float32"):
     """Single-stream decode tok/s (the reference's own benchmark shape)."""
     eng = Engine(cfg, params, Tokenizer().finalize(),
                  EngineConfig(max_seq_len=cfg.max_seq_len,
-                              kv_dtype="bfloat16", fuse_weights=False))
+                              kv_dtype="bfloat16", fuse_weights=False,
+                              scale_dtype=scales))
     # warmup: compiles prefill + decode chunk and pays the tunnel's
     # first-execution overhead on every executable
     t0 = time.perf_counter()
@@ -74,7 +75,7 @@ def bench_single(cfg, params, n_tokens, chunk, prompt):
 
 
 def bench_batched(cfg, params, n_tokens, chunk, prompt, batch, kv_dtype,
-                  profile_dir=""):
+                  profile_dir="", scales="float32"):
     """Aggregate decode tok/s serving ``batch`` concurrent streams through
     the continuous-batching engine (a capability the reference lacks —
     it serves exactly one stream, transformer.cpp:76-103)."""
@@ -84,7 +85,8 @@ def bench_batched(cfg, params, n_tokens, chunk, prompt, batch, kv_dtype,
                         EngineConfig(max_seq_len=cfg.max_seq_len,
                                      kv_dtype=kv_dtype,
                                      max_batch_size=batch,
-                                     fuse_weights=False),
+                                     fuse_weights=False,
+                                     scale_dtype=scales),
                         decode_chunk=chunk)
     # warmup: compile prefill + one full-size chunk
     t0 = time.perf_counter()
@@ -131,6 +133,10 @@ def main():
     # single-stream run keeps bf16 KV)
     kv_dtype = os.environ.get("BENCH_KV", "int8")
     quant = os.environ.get("BENCH_QUANT", "int8")
+    # bf16 group-scale storage halves the 416 MB/step f32 scale stream
+    # (quant/groupquant.compress_scales; NEXT.md r4 "the one remaining
+    # idea") — measured A/B via BENCH_SCALES=bfloat16
+    scales = os.environ.get("BENCH_SCALES", "float32")
     cfg = CONFIGS[name]
     # serving-slot context class (NEXT.md #8): shorter slots fit more of
     # them in HBM — e.g. 7b int8+kv8 B=48 fits at S=512 (OOM at 1024)
@@ -169,17 +175,18 @@ def main():
         from fastllama_tpu.utils.profiling import trace
         with trace(profile_dir):
             tps, prefill_tps = bench_single(cfg, params, n_tokens, chunk,
-                                            prompt)
+                                            prompt, scales)
         print(f"# trace written to {profile_dir}", file=sys.stderr)
     else:
-        tps, prefill_tps = bench_single(cfg, params, n_tokens, chunk, prompt)
+        tps, prefill_tps = bench_single(cfg, params, n_tokens, chunk, prompt,
+                                        scales)
 
     baseline = BASELINE_TPS[name]
     qname = cfg.quant_type.name.lower()
     if batch > 1:
         agg = bench_batched(cfg, params, n_tokens - n_tokens % chunk or chunk,
                             chunk, prompt, batch, kv_dtype,
-                            profile_dir and profile_dir + "_batched")
+                            profile_dir and profile_dir + "_batched", scales)
         kvtag = {"int8": "_kv8", "bfloat16": "", "float32": "_kvf32"}.get(
             kv_dtype, f"_{kv_dtype}")
         print(json.dumps({

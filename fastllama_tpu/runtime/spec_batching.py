@@ -334,6 +334,12 @@ class SpecBatchedEngine(BatchedEngine):
         max_budget = max(self.slot_req[b].max_new_tokens
                          - len(self.slot_req[b].output_tokens) for b in live)
         R = min(self.R, room // D, max(1, -(-max_budget // D)))
+        if self.ec.qos_chunk and self.queue:
+            # the parent's TTFT bound (batching.py qos_chunk) must bind on
+            # the spec path too: while requests queue, cap the chunk at
+            # ~qos_chunk emitted tokens per slot (R rounds emit <= R*D),
+            # mirroring spec_multihost._local_plan's SPECR cap
+            R = min(R, max(1, self.ec.qos_chunk // D))
         if R >= 1:
             # power-of-two bucketing, same reason as _plan_chunk's K: each
             # distinct (R, s_bound, greedy) compiles its own R-round

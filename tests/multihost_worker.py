@@ -12,7 +12,11 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+# per-process virtual device count (default 2 -> the 2x2 test mesh);
+# __graft_entry__.dryrun_multichip sets it to n_devices//2 so the fleet
+# covers the driver's full virtual-device budget (data=2 x model=n//2)
+_NDEV = int(os.environ.get("FTL_WORKER_DEVICES", "2"))
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={_NDEV}"
 
 import jax  # noqa: E402
 

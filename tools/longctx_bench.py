@@ -89,10 +89,11 @@ def main():
     tok = Tokenizer().finalize()
     prompt = ([7, 121, 3088, 59, 1024, 88] * (plen // 6 + 1))[:plen]
 
+    scales = os.environ.get("LC_SCALES", "float32")
     params = fuse_params(cfg, random_params_int(cfg, seed=0))
     jax.block_until_ready(params.wq.data)
     ec = EngineConfig(max_seq_len=seq, kv_dtype=kv, max_batch_size=batch,
-                      fuse_weights=False)
+                      fuse_weights=False, scale_dtype=scales)
 
     mean_pos = plen + n_tokens / 2
     wb, kb, ceil = roofline(cfg, params, batch,

@@ -18,7 +18,9 @@ the mean decode position) so the regime is explicit.
 Usage: python tools/longctx_bench.py
 Env: LC_CONFIG=7b|1b (default 7b), LC_SEQ (2048), LC_BATCH (12 for 7b,
 96 for 1b), LC_PROMPT (256), LC_TOKENS (default S-LC_PROMPT-2),
-LC_ENGINE=both|plain|spec, LC_KV (int8), LC_WIDTH (4), LC_ROUNDS (32).
+LC_ENGINE=both|plain|spec|fleet ("fleet" = single-process lockstep
+MultiHostSpecEngine — the SPECR/vote protocol at long context), LC_KV
+(int8), LC_WIDTH (4), LC_ROUNDS (32), LC_SCALES (float32|bfloat16).
 """
 import json
 import os
@@ -137,6 +139,25 @@ def main():
         out["spec_tok_s"] = round(tps, 1)
         out["acceptance"] = round(eng.acceptance, 3)
         print(f"spec:  {tps:.1f} tok/s (alpha={eng.acceptance:.3f}, "
+              f"{toks} tokens)")
+        del eng
+        fresh_engines()
+    if which in ("fleet",):
+        # long-context speculation through the lockstep fleet protocol
+        # (VERDICT r4 next #6): single-process MultiHostSpecEngine — the
+        # SPECR plan rounds, per-chunk history fetch and spec-vs-plain
+        # fleet vote all engage; shows the protocol doesn't eat the
+        # single-host spec win at S>=2048
+        from fastllama_tpu.runtime.spec_multihost import MultiHostSpecEngine
+        import dataclasses
+        ecf = dataclasses.replace(ec, mesh="data=1,model=1")
+        eng = MultiHostSpecEngine(cfg, params, tok, ecf, decode_chunk=64,
+                                  width=width, rounds_per_chunk=rounds,
+                                  spec_auto=False)
+        tps, toks = drive(eng, prompt, batch, n_tokens)
+        out["fleet_spec_tok_s"] = round(tps, 1)
+        out["acceptance"] = round(eng.acceptance, 3)
+        print(f"fleet: {tps:.1f} tok/s (alpha={eng.acceptance:.3f}, "
               f"{toks} tokens)")
         del eng
         fresh_engines()

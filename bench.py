@@ -1,4 +1,6 @@
-"""Benchmark harness — prints ONE JSON line with the headline metric.
+"""Benchmark harness — prints the headline metric as the FIRST JSON line,
+then frontier metrics (speculative serving, long-context) as secondary
+JSON lines.
 
 Measures steady-state greedy decode throughput of LLaMA2-7B-architecture
 INT8 on the available TPU chip(s), with synthetic on-device weights (no
@@ -11,7 +13,10 @@ BENCH_CHUNK (default 64), BENCH_PROMPT (default 43 tokens, the reference's
 benchmark prompt length), BENCH_BATCH (default 48: continuous-batching slots
 for the aggregate-throughput headline; 1 = single-stream engine only),
 BENCH_SEQ (slot context class; default 512 for 7b), BENCH_QUANT
-(int8/int4/int16), BENCH_KV (int8/bfloat16/float32), BENCH_FUSE (default 1).
+(int8/int4/int16), BENCH_KV (int8/bfloat16/float32), BENCH_FUSE (default 1),
+BENCH_SCALES (float32/bfloat16 group-scale storage), BENCH_EXTRA (default 1:
+the secondary frontier lines; 0 = headline only), BENCH_SPEC_BATCH (32),
+BENCH_LC_BATCH (12), BENCH_LC_SEQ (2048).
 """
 import json
 import os
@@ -121,6 +126,87 @@ def bench_batched(cfg, params, n_tokens, chunk, prompt, batch, kv_dtype,
     return agg
 
 
+def _clear_device():
+    """Drop the last engine's cache buffers before allocating the next
+    multi-GB one (same fix as tools/spec_batch_ab.py: cached executables +
+    GC lag pin HBM and RESOURCE_EXHAUSTED the follow-on engine)."""
+    import gc
+    gc.collect()
+    jax.clear_caches()
+    gc.collect()
+
+
+def bench_spec_serving(cfg, params, batch, n_tokens, prompt, scales):
+    """Speculative serving at its measured-best shipping config (tuner ON —
+    the never-lose arbiter with alpha-aware width arms {2,4}+plain) on
+    repetitive traffic, the n-gram drafter's favourable case."""
+    from fastllama_tpu.runtime.spec_batching import SpecBatchedEngine
+
+    eng = SpecBatchedEngine(cfg, params, Tokenizer().finalize(),
+                            EngineConfig(max_seq_len=cfg.max_seq_len,
+                                         kv_dtype="int8",
+                                         max_batch_size=batch,
+                                         fuse_weights=False,
+                                         scale_dtype=scales),
+                            decode_chunk=64, width=4, rounds_per_chunk=32)
+    t0 = time.perf_counter()
+    for _ in range(batch):
+        eng.submit(prompt, max_new_tokens=n_tokens + 1, temperature=0.0,
+                   stop_tokens=())
+    eng.run()
+    print(f"# spec warmup (compile) {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+    eng.stats.decode_s = eng.stats.prefill_s = 0.0
+    eng.stats.total_output_tokens = eng.stats.decode_tokens = 0
+    for _ in range(batch):
+        eng.submit(prompt, max_new_tokens=n_tokens + 1, temperature=0.0,
+                   stop_tokens=())
+    eng.run()
+    agg, acc = eng.stats.aggregate_tps, eng.acceptance
+    print(f"# spec serving {agg:.1f} tok/s (alpha={acc:.3f})",
+          file=sys.stderr)
+    del eng
+    _clear_device()
+    return agg, acc
+
+
+def bench_longctx(cfg, params, batch, seq, plen, scales):
+    """Long-context plain serving: decode sweeps positions plen..seq so the
+    measured number integrates the KV-heavy tail (tools/longctx_bench.py;
+    the reference hard-clamps S to 1024, transformer.cpp:32)."""
+    from fastllama_tpu.runtime.batching import BatchedEngine
+
+    cfg = cfg.replace(max_seq_len=seq)
+    n_tokens = seq - plen - 2
+    prompt = ([7, 121, 3088, 59, 1024, 88] * (plen // 6 + 1))[:plen]
+    eng = BatchedEngine(cfg, params, Tokenizer().finalize(),
+                        EngineConfig(max_seq_len=seq, kv_dtype="int8",
+                                     max_batch_size=batch,
+                                     fuse_weights=False,
+                                     scale_dtype=scales),
+                        decode_chunk=64)
+    # warmup must cover the FULL position range: decode chunks compile per
+    # s_bound bucket (longctx_bench.py's compile-in-timed-region lesson)
+    t0 = time.perf_counter()
+    for _ in range(batch):
+        eng.submit(prompt, max_new_tokens=n_tokens, temperature=0.0,
+                   stop_tokens=())
+    eng.run()
+    print(f"# longctx warmup (compile) {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+    eng.stats.decode_s = eng.stats.prefill_s = 0.0
+    eng.stats.total_output_tokens = eng.stats.decode_tokens = 0
+    for _ in range(batch):
+        eng.submit(prompt, max_new_tokens=n_tokens, temperature=0.0,
+                   stop_tokens=())
+    eng.run()
+    agg = eng.stats.aggregate_tps
+    print(f"# longctx {agg:.1f} tok/s (B={batch}, S={seq})", file=sys.stderr)
+    del eng
+    _clear_device()
+    return agg
+
+
 def main():
     name = os.environ.get("BENCH_CONFIG", "7b")
     n_tokens = int(os.environ.get("BENCH_TOKENS", "128"))
@@ -198,6 +284,41 @@ def main():
             "single_stream_tok_s": round(tps, 2),
             "single_stream_vs_baseline": round(tps / baseline, 3),
         }))
+        # frontier metrics AFTER the headline (VERDICT r4 next #3): the
+        # round-4/5 capabilities — speculative serving and long-context —
+        # as secondary JSON lines; each guarded so a failure can't take
+        # down the already-printed headline
+        if (int(os.environ.get("BENCH_EXTRA", "1")) and name == "7b"
+                and quant == "int8"):
+            _clear_device()
+            try:
+                sb = int(os.environ.get("BENCH_SPEC_BATCH", "32"))
+                sagg, acc = bench_spec_serving(
+                    cfg, params, sb, n_tokens - n_tokens % chunk or chunk,
+                    ([7, 121, 3088, 59] * 11)[:43], scales)
+                print(json.dumps({
+                    "metric": f"spec_serving_tok_s_{name}_{qname}_kv8"
+                              f"_1chip_b{sb}_s{cfg.max_seq_len}_repetitive",
+                    "value": round(sagg, 2), "unit": "tok/s",
+                    "vs_baseline": round(sagg / baseline, 3),
+                    "acceptance": round(acc, 3),
+                }))
+            except Exception as e:                    # noqa: BLE001
+                print(f"# spec frontier metric failed: {e}", file=sys.stderr)
+            try:
+                lb = int(os.environ.get("BENCH_LC_BATCH", "12"))
+                ls = int(os.environ.get("BENCH_LC_SEQ", "2048"))
+                lagg = bench_longctx(CONFIGS[name], params, lb, ls, 256,
+                                     scales)
+                print(json.dumps({
+                    "metric": f"longctx_decode_tok_s_{name}_{qname}_kv8"
+                              f"_1chip_b{lb}_s{ls}",
+                    "value": round(lagg, 2), "unit": "tok/s",
+                    "vs_baseline": round(lagg / baseline, 3),
+                }))
+            except Exception as e:                    # noqa: BLE001
+                print(f"# longctx frontier metric failed: {e}",
+                      file=sys.stderr)
     else:
         print(json.dumps({
             "metric": f"decode_tok_s_{name}_{qname}_1chip",

@@ -114,11 +114,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="--prompts-file lines are 'priority<TAB>deadline_s"
                         "<TAB>prompt' (mixed QoS loads from one file)")
     p.add_argument("--spec-width", type=int, default=0,
-                   help="speculation verify width D (0 = auto: 8 for "
-                        "single-stream --draft/--spec, 2 for --mode serve "
-                        "— at serving batch every extra verify row costs a "
-                        "full B-row forward, and D=2 measured fastest at "
-                        "7B B=32/S=512)")
+                   help="speculation MAX verify width D (0 = auto: 8 for "
+                        "single-stream --draft/--spec, 4 for --mode serve). "
+                        "The serve engine's SpecAutoTuner arbitrates "
+                        "plain vs spec@2 vs spec@4 by measured emitted "
+                        "tok/s — D=2 measured fastest at 7B B=32/S=512 "
+                        "(alpha=0.455) but D=4 at S=2048 (alpha=0.329), so "
+                        "the width adapts instead of staying static")
     p.add_argument("--spec-rounds", type=int, default=32,
                    help="--mode serve --spec: speculative rounds per device "
                         "chunk; longer chunks amortize the per-chunk host "
@@ -143,7 +145,11 @@ def serve_mode(args) -> int:
                       spmd_kernels=args.spmd_kernels,
                       qos_chunk=args.qos_chunk,
                       scale_dtype=args.scale_dtype)
-    spec_width = args.spec_width or 2          # serve-mode auto default
+    # serve-mode auto default: 4 = the tuner's width-arm headroom
+    # ({2, 4} + plain; spec_batching.SpecAutoTuner).  The lockstep fleet
+    # keeps a static width (the vote exchanges a boolean), where D=2 is
+    # the measured S<=512 winner
+    spec_width = args.spec_width or (2 if args.multihost else 4)
     if args.multihost and args.spec:
         # batched speculation in the lockstep fleet: every host's shards
         # run the fused verify loop on their local slots

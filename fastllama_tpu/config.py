@@ -148,10 +148,16 @@ class EngineConfig:
     # "bfloat16" halves the HBM scale stream (f32 scales are 1/16 of the
     # int8 weight bytes at gs=64 — 416 MB of the 7B step's 7.15 GB) with
     # BIT-IDENTICAL decode math, because the dequant kernel casts scales to
-    # bf16 before the multiply anyway (ops/pallas/qmm._qmm_chunk).  Off by
-    # default: parity_mode and the f32 jnp fallback dequantize in f32,
-    # where storage rounding would show.  INT16 always keeps f32.
-    scale_dtype: str = "float32"
+    # bf16 before the multiply anyway (ops/pallas/qmm._qmm_chunk).
+    # "auto" resolves per engine from the round-5 on-chip A/B: bfloat16 in
+    # the single-stream Engine for INT8 on the Pallas path (99.3 vs 96.9
+    # tok/s at 7B — the stream is the whole bill at B=1), float32 in the
+    # batched/multihost engines (2839.6 vs 2721.0 at B=48/S=512: the scale
+    # stream amortizes over B rows while the bf16->f32 upcast VPU work
+    # does not).  parity_mode and the f32 jnp fallback always keep f32,
+    # where storage rounding would show; INT16 always keeps f32; INT4
+    # bf16-scale dequant measured SLOWER in round 2, so auto keeps f32.
+    scale_dtype: str = "auto"
     # deferred staged-KV decode chunks (BatchedEngine): fresh K/V rows of a
     # whole K-step decode chunk accumulate in a small exact-tile staging
     # buffer and land in the big cache with ONE spec_write per chunk,
@@ -184,3 +190,24 @@ class EngineConfig:
     # lets engine-level tests exercise the exact kernel code paths on the
     # virtual-device mesh; never set on real TPU runs.
     pallas_interpret: bool = False
+
+
+def resolve_scale_dtype(ec: EngineConfig, config: ModelConfig,
+                        batched: bool, pallas_live: Optional[bool] = None
+                        ) -> str:
+    """Resolve ``EngineConfig.scale_dtype`` — in particular "auto" — to a
+    concrete storage dtype for this engine (see the field comment for the
+    measured A/B behind each branch).  ``batched`` = continuous-batching /
+    multi-host serving (scale stream amortizes over B rows; f32 wins);
+    single-stream decode is stream-bound and bf16 scales win for INT8 on
+    the Pallas path.  ``pallas_live`` = whether the fused kernels actually
+    run (backend-dependent); the jnp fallback dequantizes in f32, where
+    bf16 storage rounding would change tokens, so auto keeps f32 there."""
+    if ec.scale_dtype != "auto":
+        return ec.scale_dtype
+    if pallas_live is None:
+        pallas_live = ec.use_pallas
+    if (not batched and pallas_live and not ec.parity_mode
+            and config.quant_type == QuantType.INT8):
+        return "bfloat16"
+    return "float32"

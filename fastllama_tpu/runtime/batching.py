@@ -36,7 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fastllama_tpu.config import EngineConfig, ModelConfig, QuantType
+from fastllama_tpu.config import (EngineConfig, ModelConfig,
+                                  QuantType, resolve_scale_dtype)
 from fastllama_tpu.loaders.registry import FileType, load_model
 from fastllama_tpu.loaders.tokenizer import Tokenizer
 from fastllama_tpu.models.batched import (BatchedKVCache, decode_step,
@@ -152,9 +153,10 @@ class BatchedEngine:
                 params = fuse_params(config, params)
             except ValueError:          # mixed INT4 pack layouts: keep unfused
                 ec = dataclasses.replace(ec, fuse_weights=False)
-        if ec.scale_dtype != "float32" and not ec.parity_mode:
+        scale_dt = resolve_scale_dtype(ec, config, batched=True)
+        if scale_dt != "float32" and not ec.parity_mode:
             from fastllama_tpu.quant.groupquant import compress_scales
-            params = compress_scales(params, jnp.dtype(ec.scale_dtype))
+            params = compress_scales(params, jnp.dtype(scale_dt))
         self.params = params
         self.tokenizer = tokenizer
         self.ec = ec

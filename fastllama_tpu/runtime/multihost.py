@@ -64,7 +64,8 @@ import numpy as np
 from jax.experimental import multihost_utils
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from fastllama_tpu.config import EngineConfig, ModelConfig, QuantType
+from fastllama_tpu.config import (EngineConfig, ModelConfig,
+                                  QuantType, resolve_scale_dtype)
 from fastllama_tpu.loaders.registry import FileType
 from fastllama_tpu.loaders.tokenizer import Tokenizer
 from fastllama_tpu.models.batched import (BatchedKVCache, decode_step,
@@ -148,15 +149,17 @@ class MultiHostEngine:
                     params = fuse_params(config, params)
                 except ValueError:
                     pass
-            if ec.scale_dtype != "float32" and not ec.parity_mode:
+            scale_dt = resolve_scale_dtype(ec, config, batched=True)
+            if scale_dt != "float32" and not ec.parity_mode:
                 from fastllama_tpu.quant.groupquant import compress_scales
-                params = compress_scales(params, jnp.dtype(ec.scale_dtype))
+                params = compress_scales(params, jnp.dtype(scale_dt))
             self.params = jax.device_put(params, mesh.devices.flat[0])
         else:
             from fastllama_tpu.parallel.sharding import shard_params
-            if ec.scale_dtype != "float32" and not ec.parity_mode:
+            scale_dt = resolve_scale_dtype(ec, config, batched=True)
+            if scale_dt != "float32" and not ec.parity_mode:
                 from fastllama_tpu.quant.groupquant import compress_scales
-                params = compress_scales(params, jnp.dtype(ec.scale_dtype))
+                params = compress_scales(params, jnp.dtype(scale_dt))
             self.params = shard_params(config, mesh, params)
 
         # slots: W per host = serving slots + 1 sink for padded admissions

@@ -73,37 +73,52 @@ class SpecAutoTuner:
     between B=32 (spec wins) and B=48 (plain wins) on v5e.  Rather than
     model alpha, measure the ground truth the model would try to predict:
     an EMA of emitted-tokens-per-second for each mode, run the winner, and
-    probe the loser every ``probe_every`` chunks so a drifting workload
-    (acceptance collapsing, batch draining) can flip the decision back.
-    Samples from chunks that just compiled are discarded — a first-call
-    compile (~seconds) would poison the EMA for ~probe_every * 10 chunks."""
+    probe the losers round-robin every ``probe_every`` chunks so a drifting
+    workload (acceptance collapsing, batch draining) can flip the decision
+    back.  Samples from chunks that just compiled are discarded — a
+    first-call compile (~seconds) would poison the EMA for
+    ~probe_every * 10 chunks.
 
-    def __init__(self, probe_every: int = 16, decay: float = 0.8):
-        self.ema = {True: None, False: None}       # mode -> tok/s
+    Arms: 0 = plain; a positive arm = a speculative chunk at that draft
+    width D (VERDICT r4 next #7: the optimal D moves with alpha and batch —
+    D=2 wins at B=32/alpha=0.455, D=4 at long-context alpha=0.329 — so let
+    the same measured arbitration pick the width too).  With ``widths=None``
+    the tuner stays the binary spec/plain arbiter (arm 1 = "spec at the
+    engine's static width") — the multi-host vote protocol exchanges a
+    boolean and keeps its width fleet-static."""
+
+    def __init__(self, probe_every: int = 16, decay: float = 0.8,
+                 widths=None):
+        spec_arms = sorted({int(d) for d in widths}) if widths else [1]
+        assert all(a > 0 for a in spec_arms)
+        self.arms = spec_arms + [0]        # choose() measures spec first
+        self.ema = {a: None for a in self.arms}
         self.count = 0
         self.probe_every = probe_every
         self.decay = decay
+        self._probe_i = 0
 
-    def record(self, spec: bool, tokens: int, secs: float,
+    def record(self, arm, tokens: int, secs: float,
                compiled: bool = False) -> None:
         if compiled or secs <= 0 or tokens <= 0:
             return
         tps = tokens / secs
-        e = self.ema[spec]
-        self.ema[spec] = tps if e is None else \
+        e = self.ema[int(arm)]
+        self.ema[int(arm)] = tps if e is None else \
             self.decay * e + (1.0 - self.decay) * tps
 
-    def choose(self) -> bool:
-        """True = run a speculative chunk next."""
+    def choose(self) -> int:
+        """Arm to run next: 0 = plain, else the draft width to speculate
+        at (1 in binary mode = the engine's static width)."""
         self.count += 1
-        es, ep = self.ema[True], self.ema[False]
-        if es is None:
-            return True                    # measure spec first
-        if ep is None:
-            return False                   # then plain once
-        winner = es >= ep
-        if self.count % self.probe_every == 0:
-            return not winner              # periodic probe of the loser
+        for a in self.arms:
+            if self.ema[a] is None:
+                return a                   # measure every arm once
+        winner = max(self.arms, key=lambda a: self.ema[a])
+        if self.count % self.probe_every == 0 and len(self.arms) > 1:
+            losers = [a for a in self.arms if a != winner]
+            self._probe_i += 1
+            return losers[self._probe_i % len(losers)]
         return winner
 
 
@@ -215,7 +230,13 @@ class SpecBatchedEngine(BatchedEngine):
         self.R = max(1, rounds_per_chunk)
         self.spec_drafted = 0
         self.spec_accepted = 0
-        self._tuner = SpecAutoTuner() if spec_auto else None
+        # alpha-aware width arms: powers of two in [2, width] (at most 3 —
+        # each extra arm costs probe chunks and one compile per
+        # (R, s_bound, greedy) bucket).  The tuner picks among
+        # {plain} + {spec@D} by measured emitted-tok/s, so D adapts to the
+        # workload's acceptance instead of staying static
+        arms = sorted({d for d in (2, 4, 8) if d < width} | {width})[-3:]
+        self._tuner = SpecAutoTuner(widths=arms) if spec_auto else None
         # device-resident per-slot token history (prompt + emitted tokens,
         # including the pending one); length = pos + 1 for live slots
         self._hist = jnp.zeros((self.B, self.S + width + 1), jnp.int32)
@@ -261,11 +282,13 @@ class SpecBatchedEngine(BatchedEngine):
 
     # -- compiled spec chunk -------------------------------------------------
 
-    def _get_spec_chunk(self, R: int, s_bound: int, greedy: bool):
-        key_ = (R, s_bound, greedy)
+    def _get_spec_chunk(self, R: int, s_bound: int, greedy: bool,
+                        D: Optional[int] = None):
+        D = self.width if D is None else D
+        key_ = (R, s_bound, greedy, D)
         if key_ not in self._spec_fns:
             cfg, mm, mi = self.config, self._mm, self._mm_idx
-            cdt, D, n = self._cdt, self.width, self.ngram
+            cdt, n = self._cdt, self.ngram
             ab = (self._attn_sbidx_factory(s_bound)
                   if self._attn_sbidx_factory is not None else None)
 
@@ -333,23 +356,32 @@ class SpecBatchedEngine(BatchedEngine):
         # every stop (measured 525 s of warmup at 7B B=48 R=32)
         max_budget = max(self.slot_req[b].max_new_tokens
                          - len(self.slot_req[b].output_tokens) for b in live)
-        R = min(self.R, room // D, max(1, -(-max_budget // D)))
-        if self.ec.qos_chunk and self.queue:
-            # the parent's TTFT bound (batching.py qos_chunk) must bind on
-            # the spec path too: while requests queue, cap the chunk at
-            # ~qos_chunk emitted tokens per slot (R rounds emit <= R*D),
-            # mirroring spec_multihost._local_plan's SPECR cap
-            R = min(R, max(1, self.ec.qos_chunk // D))
-        if R >= 1:
+
+        def plan_R(D):
+            R = min(self.R, room // D, max(1, -(-max_budget // D)))
+            if self.ec.qos_chunk and self.queue:
+                # the parent's TTFT bound (batching.py qos_chunk) must bind
+                # on the spec path too: while requests queue, cap the chunk
+                # at ~qos_chunk emitted tokens per slot (R rounds emit
+                # <= R*D), mirroring spec_multihost._local_plan's SPECR cap
+                R = min(R, max(1, self.ec.qos_chunk // D))
             # power-of-two bucketing, same reason as _plan_chunk's K: each
-            # distinct (R, s_bound, greedy) compiles its own R-round
+            # distinct (R, s_bound, greedy, D) compiles its own R-round
             # whole-model scan
-            R = 1 << (R.bit_length() - 1)
+            return (1 << (R.bit_length() - 1)) if R >= 1 else 0
+
+        R = plan_R(D)
         use_spec = R >= 1
         if use_spec and self._tuner is not None:
-            # measured spec-vs-plain arbitration (SpecAutoTuner): run the
-            # faster mode, probe the loser periodically
-            use_spec = self._tuner.choose()
+            # measured arbitration (SpecAutoTuner): run the fastest arm —
+            # plain, or speculation at one of the width arms — and probe
+            # the losers periodically
+            arm = self._tuner.choose()
+            use_spec = arm != 0
+            if use_spec and arm not in (1, D) and plan_R(arm) >= 1:
+                # alpha-aware width: re-plan the chunk at the chosen D
+                # (falls back to the static width if D doesn't fit room)
+                D, R = arm, plan_R(arm)
         if not use_spec:
             # plain chunks: near the context limit (R < 1) they keep the
             # generation contract; under the tuner they're the measured win
@@ -381,7 +413,7 @@ class SpecBatchedEngine(BatchedEngine):
         nfns = len(self._spec_fns)
         tok0 = self.stats.decode_tokens
         t0 = time.perf_counter()
-        fn = self._get_spec_chunk(R, s_bound, greedy)
+        fn = self._get_spec_chunk(R, s_bound, greedy, D)
         if self._io_dirty or self._pend_dev is None:
             self._pend_dev = jnp.asarray(self.pending)
             self._pos_dev = jnp.asarray(self.pos)
@@ -424,7 +456,8 @@ class SpecBatchedEngine(BatchedEngine):
             self._pend_dev, self._pos_dev = pend_dev, pos_dev
             self._io_dirty = False
         if self._tuner is not None:
-            self._tuner.record(True, self.stats.decode_tokens - tok0, dt,
+            # record under the width arm that actually ran (alpha-aware D)
+            self._tuner.record(D, self.stats.decode_tokens - tok0, dt,
                                compiled=len(self._spec_fns) > nfns)
         return bool(self.queue) or bool(self._live_slots())
 

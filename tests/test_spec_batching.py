@@ -312,3 +312,53 @@ def test_spec_batched_onehot_accept_preserves_target():
     out = np.concatenate([ys[accept], resample])
     emp = np.bincount(out, minlength=V) / N
     np.testing.assert_allclose(emp, p, atol=5e-3)
+
+
+def test_spec_width_arms_tuner_unit():
+    """Width-arm SpecAutoTuner (VERDICT r4 next #7): arms are plain (0) and
+    spec@D for each candidate width; every arm is measured once, the
+    fastest runs, and probes rotate round-robin over the losers."""
+    from fastllama_tpu.runtime.spec_batching import SpecAutoTuner
+
+    t = SpecAutoTuner(probe_every=4, widths=(4, 2))
+    assert t.arms == [2, 4, 0]
+    assert t.choose() == 2                 # measure every arm once...
+    t.record(2, 200, 1.0)
+    assert t.choose() == 4
+    t.record(4, 260, 1.0)
+    assert t.choose() == 0                 # ...plain last
+    t.record(0, 230, 1.0)
+    assert t.choose() == 0                 # count=4: probe fires (loser 0)
+    assert t.choose() == 4                 # winner: spec@4
+    # count=4k: probes rotate over BOTH losers, not just one
+    probes = set()
+    for _ in range(12):
+        a = t.choose()
+        if a != 4:
+            probes.add(a)
+    assert probes == {0, 2}
+    # alpha collapsing (spec@4 slowing) flips the width preference to 2,
+    # and plain (230) becomes the overall winner — both from measurement
+    for _ in range(30):
+        t.record(4, 120, 1.0)
+        t.record(2, 200, 1.0)
+    assert t.ema[2] > t.ema[4]
+    assert max(t.arms, key=lambda a: t.ema[a]) == 0
+
+
+def test_spec_batched_width_arms_correct(tmp_path):
+    """The engine's alpha-aware width arms ({2,4}+plain at width=4) mix
+    chunk kinds by measured throughput — greedy outputs must still equal
+    plain serving, and chunks must compile under more than one D."""
+    base, spec = _engines(tmp_path, dict(width=4, rounds_per_chunk=2))
+    assert spec._tuner is not None and spec._tuner.arms == [2, 4, 0]
+    prompts = [[1, 5, 9, 13, 80, 200, 31], [2, 4, 6], [7, 7, 7, 7]]
+    want = [r.output_tokens for r in base.generate_all(
+        prompts, max_new_tokens=24, temperature=0.0, stop_tokens=())]
+    got = [r.output_tokens for r in spec.generate_all(
+        prompts, max_new_tokens=24, temperature=0.0, stop_tokens=())]
+    assert got == want
+    # unmeasured-first arbitration ran spec at both widths
+    widths_run = {k[3] for k in spec._spec_fns}
+    assert widths_run == {2, 4}
+    assert spec.spec_drafted > 0

@@ -183,14 +183,14 @@ def test_spec_auto_tuner_unit():
     from fastllama_tpu.runtime.spec_batching import SpecAutoTuner
 
     t = SpecAutoTuner(probe_every=4)
-    assert t.choose() is True              # measure spec first
+    assert t.choose() == 1                 # measure spec first
     t.record(True, 100, 1.0)               # spec: 100 tok/s
-    assert t.choose() is False             # then plain once
+    assert t.choose() == 0                 # then plain once
     t.record(False, 300, 1.0)              # plain: 300 tok/s -> plain wins
-    assert t.choose() is False
-    assert t.choose() is True              # count=4: probe the loser
+    assert t.choose() == 0
+    assert t.choose() == 1                 # count=4: probe the loser
     t.record(True, 100, 1.0)
-    assert t.choose() is False             # winner again
+    assert t.choose() == 0                 # winner again
     # compile-polluted sample is a no-op
     ema = dict(t.ema)
     t.record(False, 1, 100.0, compiled=True)

@@ -61,12 +61,16 @@ def drive(eng, prompt, batch, n_tokens):
     # bucket's compile INSIDE the timed region (first measured: plain
     # "485", spec "166" at S=2048 — both numbers were mostly compile time;
     # spec chunks are whole-model R-round scans that take minutes each)
-    for _ in range(batch):
-        eng.submit(prompt, max_new_tokens=n_tokens, temperature=0.0,
-                   stop_tokens=())
-    t0 = time.perf_counter()
-    eng.run()
-    print(f"# warmup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    # tuner-on engines warm up TWICE: the tuner's mode sequence differs
+    # between passes, so one pass can leave (R, s_bound, D) buckets cold
+    # that the measured pass then compiles in the timed region
+    for _ in range(2 if getattr(eng, "_tuner", None) is not None else 1):
+        for _ in range(batch):
+            eng.submit(prompt, max_new_tokens=n_tokens, temperature=0.0,
+                       stop_tokens=())
+        t0 = time.perf_counter()
+        eng.run()
+        print(f"# warmup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     eng.stats.decode_s = eng.stats.prefill_s = 0.0
     eng.stats.total_output_tokens = eng.stats.decode_tokens = 0
     for _ in range(batch):
@@ -132,9 +136,12 @@ def main():
         fresh_engines()
     if which in ("both", "spec"):
         from fastllama_tpu.runtime.spec_batching import SpecBatchedEngine
+        # LC_AUTO=1: SpecAutoTuner on (never-lose arbitration + alpha-aware
+        # width arms); default off so the row measures PURE speculation at
+        # the given static width
         eng = SpecBatchedEngine(cfg, params, tok, ec, decode_chunk=64,
                                 width=width, rounds_per_chunk=rounds,
-                                spec_auto=False)
+                                spec_auto=os.environ.get("LC_AUTO") == "1")
         tps, toks = drive(eng, prompt, batch, n_tokens)
         out["spec_tok_s"] = round(tps, 1)
         out["acceptance"] = round(eng.acceptance, 3)

@@ -39,39 +39,58 @@ from fastllama_tpu.models.llama import fuse_params, random_params_int  # noqa: E
 from tools.spec_batch_ab import CONFIGS  # noqa: E402
 
 
-def run_load(eng, batch, n_probes, low_tokens=256, probe_tokens=8):
-    """Saturate the engine with low-priority jobs, inject one high-priority
-    probe every few scheduler rounds, return (probe TTFTs, aggregate)."""
+def run_load(eng, batch, n_probes, probe_tokens=8):
+    """Closed-loop saturating load: every slot busy with a STAGGERED-length
+    low-priority job and >=2 more always queued, so slots free mid-stream
+    at uncorrelated times.  A high-priority probe submitted under that load
+    waits for (a) a slot to free and (b) the running chunk to end — (b) is
+    what ``qos_chunk`` bounds.  The first tool version gave every low job
+    the same length, so completions aligned with chunk boundaries and most
+    probes found free slots (TTFT ~= prefill at every setting: measured
+    p50 39.7 vs 43.9 ms, no signal).  Returns (probe TTFTs, aggregate)."""
+    rng = np.random.default_rng(0)
     low = ([7, 121, 3088, 59] * 11)[:43]
     hi = [9, 17, 25]
-    # one extra queued low-priority job per probe keeps the batch full AND
-    # the queue non-empty (qos_chunk only binds while something queues)
-    for _ in range(batch + n_probes):
-        eng.submit(low, max_new_tokens=low_tokens, temperature=0.0,
-                   stop_tokens=())
-    # warm all compile paths (decode chunks at both bounds + probe prefill)
+
+    def top_up():
+        # keep the queue non-empty (qos_chunk binds only while something
+        # queues) and the slots saturated; staggered lengths decorrelate
+        # slot-free times from chunk boundaries
+        while len(eng.queue) < 2 + batch - sum(
+                r is not None for r in eng.slot_req):
+            eng.submit(low, max_new_tokens=int(rng.integers(16, 257)),
+                       temperature=0.0, stop_tokens=())
+
+    # warmup phase: identical shape to the measured phase (fills the slots,
+    # runs capped AND full chunks, admits a probe) so every (K, s_bound)
+    # bucket compiles before timing starts
+    top_up()
     eng.step()
     w = eng.submit(hi, max_new_tokens=probe_tokens, temperature=0.0,
                    stop_tokens=(), priority=5)
     while not w.done:
+        top_up()
         eng.step()
     eng.stats.decode_s = eng.stats.prefill_s = 0.0
     eng.stats.total_output_tokens = eng.stats.decode_tokens = 0
 
     probes = []
     rounds = 0
-    more = True
-    while more or probes and not probes[-1].done:
-        more = eng.step()
+    while len(probes) < n_probes or not all(p.done for p in probes):
+        top_up()
+        eng.step()
         rounds += 1
         if rounds % 4 == 0 and len(probes) < n_probes:
             probes.append(eng.submit(hi, max_new_tokens=probe_tokens,
                                      temperature=0.0, stop_tokens=(),
                                      priority=5))
-    while any(not p.done for p in probes):
-        eng.step()
+    agg = eng.stats.aggregate_tps
+    # drain the backlog so the caller's del/clear actually frees the cache
+    for r in list(eng.queue):
+        r.max_new_tokens = 1
+    eng.run()
     ttfts = [p.ttft for p in probes]
-    return ttfts, eng.stats.aggregate_tps
+    return ttfts, agg
 
 
 def main():

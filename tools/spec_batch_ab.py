@@ -47,13 +47,21 @@ CONFIGS = {
 }
 
 
-def drive(eng, prompt, batch, n_tokens):
-    for _ in range(batch):
-        eng.submit(prompt, max_new_tokens=n_tokens + 1, temperature=0.0,
-                   stop_tokens=())
-    t0 = time.perf_counter()
-    eng.run()
-    print(f"# warmup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+def drive(eng, prompt, batch, n_tokens, warmups=None):
+    # with the tuner ON the warmup must run TWICE: the tuner's mode
+    # sequence differs between passes (its chunk counter carries over), so
+    # a single warmup can leave (R, s_bound) buckets cold that the measured
+    # pass then compiles IN the timed region (first tuner-on A/B measured
+    # "spec 562 tok/s" at B=48/W=2 — mostly compile+cache-load stalls)
+    if warmups is None:
+        warmups = 2 if getattr(eng, "_tuner", None) is not None else 1
+    for w in range(warmups):
+        for _ in range(batch):
+            eng.submit(prompt, max_new_tokens=n_tokens + 1, temperature=0.0,
+                       stop_tokens=())
+        t0 = time.perf_counter()
+        eng.run()
+        print(f"# warmup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     eng.stats.decode_s = eng.stats.prefill_s = 0.0
     eng.stats.total_output_tokens = eng.stats.decode_tokens = 0
     for _ in range(batch):
@@ -66,6 +74,11 @@ def drive(eng, prompt, batch, n_tokens):
             eng.run()
     else:
         eng.run()
+    tuner = getattr(eng, "_tuner", None)
+    if tuner is not None:
+        # arbitration diagnostics: per-arm EMA tok/s at end of run
+        ema = {k: round(v, 1) for k, v in tuner.ema.items() if v is not None}
+        print(f"# tuner ema (arm -> tok/s): {ema}", file=sys.stderr)
     return eng.stats.aggregate_tps
 
 

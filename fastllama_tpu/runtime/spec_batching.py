@@ -123,15 +123,25 @@ class SpecAutoTuner:
 
 
 def build_spec_chunk(verify, R: int, D: int, greedy: bool):
-    """R speculative rounds as one traceable chunk, shared by the
+    """Up-to-R speculative rounds as one traceable chunk, shared by the
     single-host and multi-host engines (the round/accept/commit logic is
     identical; only the verify forward differs — per-device fused kernels
     vs shard_map per shard).
 
+    ``R`` is the MAX rounds (it sizes the output buffers); the rounds a
+    call actually runs is the DYNAMIC scalar operand ``r_dyn`` (a
+    ``lax.while_loop`` trip count), so ONE compiled chunk serves every
+    drain/qos-capped round budget.  The previous design baked R into a
+    ``lax.scan`` and compiled a whole-model R-round program per distinct
+    (R, s_bound, D) — the drain-phase R sweep measured 1208 s of warmup at
+    7B B=32 and left cold buckets that poisoned measured passes
+    (tools/spec_batch_ab.py round-5 notes).
+
     ``verify(params, cache, pending, pos, hist) -> (ys, lg, cache)`` drafts
     D-1 tokens per slot and runs the (B, D)-row target forward.  Returns
-    ``chunk(params, cache, pending, pos, hist, keys, temps, topps) ->
-    (gs (R, B, D), accs (R, B), cache, hist, pending, pos, keys)``."""
+    ``chunk(params, cache, pending, pos, hist, keys, temps, topps, r_dyn)
+    -> (gs (R, B, D), accs (R, B), cache, hist, pending, pos, keys)`` —
+    rows of gs/accs at round index >= r_dyn are zero."""
 
     def commit(emit, a, cache, hist, pos):
         """Shared round tail: pending/history/pos bookkeeping.  Rows past
@@ -144,7 +154,7 @@ def build_spec_chunk(verify, R: int, D: int, greedy: bool):
         pos = pos + a + 1                 # caller bounds pos + R*D
         return pending, pos, cache, hist
 
-    def chunk(params, cache, pending, pos, hist, keys, temps, topps):
+    def chunk(params, cache, pending, pos, hist, keys, temps, topps, r_dyn):
         if greedy:
             def round_fn(carry, _):
                 pending, pos, cache, hist, keys = carry
@@ -198,8 +208,21 @@ def build_spec_chunk(verify, R: int, D: int, greedy: bool):
                 pending, pos, cache, hist = commit(emit, a, cache, hist, pos)
                 return (pending, pos, cache, hist, keys), (emit, a)
 
-        (pending, pos, cache, hist, keys), (gs, accs) = jax.lax.scan(
-            round_fn, (pending, pos, cache, hist, keys), length=R)
+        B = pending.shape[0]
+        gs0 = jnp.zeros((R, B, D), jnp.int32)
+        accs0 = jnp.zeros((R, B), jnp.int32)
+
+        def cond_fn(carry):
+            return carry[0] < r_dyn
+
+        def body_fn(carry):
+            r, st, gs, accs = carry
+            st, (g, a) = round_fn(st, None)
+            return r + 1, st, gs.at[r].set(g), accs.at[r].set(a)
+
+        _, (pending, pos, cache, hist, keys), gs, accs = jax.lax.while_loop(
+            cond_fn, body_fn,
+            (jnp.int32(0), (pending, pos, cache, hist, keys), gs0, accs0))
         return gs, accs, cache, hist, pending, pos, keys
 
     return chunk
@@ -245,6 +268,7 @@ class SpecBatchedEngine(BatchedEngine):
         # so in the steady full-occupancy phase no per-chunk uploads are
         # needed (each device_put is a full tunnel round trip)
         self._io_dirty = True
+        self._hist_stale = False
         self._pend_dev = self._pos_dev = None
         self._temps_dev = self._topps_dev = None
         self._spec_fns = {}
@@ -282,10 +306,13 @@ class SpecBatchedEngine(BatchedEngine):
 
     # -- compiled spec chunk -------------------------------------------------
 
-    def _get_spec_chunk(self, R: int, s_bound: int, greedy: bool,
+    def _get_spec_chunk(self, s_bound: int, greedy: bool,
                         D: Optional[int] = None):
+        # the round count is a DYNAMIC operand of the compiled chunk
+        # (build_spec_chunk r_dyn) — NOT a compile key: one program per
+        # (s_bound, greedy, D) serves every drain/qos round budget
         D = self.width if D is None else D
-        key_ = (R, s_bound, greedy, D)
+        key_ = (s_bound, greedy, D)
         if key_ not in self._spec_fns:
             cfg, mm, mi = self.config, self._mm, self._mm_idx
             cdt, n = self._cdt, self.ngram
@@ -314,7 +341,7 @@ class SpecBatchedEngine(BatchedEngine):
                 return ys, lg, cache
 
             self._spec_fns[key_] = jax.jit(
-                build_spec_chunk(verify, R, D, greedy),
+                build_spec_chunk(verify, self.R, D, greedy),
                 donate_argnums=(1,) if self.ec.donate_cache else ())
         return self._spec_fns[key_]
 
@@ -358,6 +385,9 @@ class SpecBatchedEngine(BatchedEngine):
                          - len(self.slot_req[b].output_tokens) for b in live)
 
         def plan_R(D):
+            # EXACT round budget — R is a dynamic operand of the compiled
+            # chunk (build_spec_chunk r_dyn), so no pow2 bucketing and no
+            # per-R recompile: drains run exactly the rounds they need
             R = min(self.R, room // D, max(1, -(-max_budget // D)))
             if self.ec.qos_chunk and self.queue:
                 # the parent's TTFT bound (batching.py qos_chunk) must bind
@@ -365,10 +395,7 @@ class SpecBatchedEngine(BatchedEngine):
                 # at ~qos_chunk emitted tokens per slot (R rounds emit
                 # <= R*D), mirroring spec_multihost._local_plan's SPECR cap
                 R = min(R, max(1, self.ec.qos_chunk // D))
-            # power-of-two bucketing, same reason as _plan_chunk's K: each
-            # distinct (R, s_bound, greedy, D) compiles its own R-round
-            # whole-model scan
-            return (1 << (R.bit_length() - 1)) if R >= 1 else 0
+            return max(R, 0)
 
         R = plan_R(D)
         use_spec = R >= 1
@@ -400,10 +427,17 @@ class SpecBatchedEngine(BatchedEngine):
             if self._tuner is not None and R >= 1:
                 self._tuner.record(False, self.stats.decode_tokens - tok0,
                                    dt, compiled=len(self._chunk_fns) > nfns)
-            # plain chunks don't maintain the history; resync live slots
-            self._resync_history()
+            # plain chunks don't maintain the history; mark it stale and
+            # rebuild LAZILY before the next spec chunk — in the all-plain
+            # steady state under the tuner an eager per-chunk resync was
+            # pure overhead (an extra dispatch + upload per chunk)
+            self._hist_stale = True
             self._io_dirty = True
             return bool(self.queue) or bool(self._live_slots())
+
+        if self._hist_stale:
+            self._resync_history()
+            self._hist_stale = False
 
         s_bound = 0
         if self._attn_bidx_factory is not None:
@@ -413,7 +447,7 @@ class SpecBatchedEngine(BatchedEngine):
         nfns = len(self._spec_fns)
         tok0 = self.stats.decode_tokens
         t0 = time.perf_counter()
-        fn = self._get_spec_chunk(R, s_bound, greedy, D)
+        fn = self._get_spec_chunk(s_bound, greedy, D)
         if self._io_dirty or self._pend_dev is None:
             self._pend_dev = jnp.asarray(self.pending)
             self._pos_dev = jnp.asarray(self.pos)
@@ -421,7 +455,8 @@ class SpecBatchedEngine(BatchedEngine):
             self._topps_dev = jnp.asarray(self.topps)
         gs, accs, self.cache, self._hist, pend_dev, pos_dev, self._keys = fn(
             self.params, self.cache, self._pend_dev, self._pos_dev,
-            self._hist, self._keys, self._temps_dev, self._topps_dev)
+            self._hist, self._keys, self._temps_dev, self._topps_dev,
+            np.int32(R))
         # ONE host round trip for everything the scheduler needs: through
         # the tunnel each fetch is a full RT, and spec chunks are ~8x
         # shorter than plain ones so per-chunk host time bites ~8x harder

@@ -166,8 +166,12 @@ class MultiHostSpecEngine(MultiHostEngine):
 
     # -- compiled spec chunk ---------------------------------------------------
 
-    def _get_spec_chunk(self, R: int, s_bound: int, greedy: bool):
-        key_ = (R, s_bound, greedy)
+    def _get_spec_chunk(self, s_bound: int, greedy: bool):
+        # the round count is a DYNAMIC operand (build_spec_chunk r_dyn), not
+        # a compile key — one program per (s_bound, greedy) serves every
+        # fleet SPECR value, and the lockstep contract gets stronger: fewer
+        # distinct programs for hosts to agree on
+        key_ = (s_bound, greedy)
         if key_ not in self._spec_fns:
             cfg, kb, cdt = self.config, self._kb, self._cdt
             D, n, mesh = self.width, self.ngram, self.mesh
@@ -194,11 +198,13 @@ class MultiHostSpecEngine(MultiHostEngine):
                         spec_writer=self._spec_writer, compute_dtype=cdt)
                 return ys, lg, cache
 
-            chunk0 = build_spec_chunk(verify, R, D, greedy)
+            chunk0 = build_spec_chunk(verify, self.R, D, greedy)
 
-            def chunk(params, cache, pending, pos, hist, keys, temps, topps):
+            def chunk(params, cache, pending, pos, hist, keys, temps, topps,
+                      r_dyn):
                 gs, accs, cache, hist, pending, pos, keys = chunk0(
-                    params, cache, pending, pos, hist, keys, temps, topps)
+                    params, cache, pending, pos, hist, keys, temps, topps,
+                    r_dyn)
                 # slot-major so every host reads its own columns off DCN
                 gs = jax.lax.with_sharding_constraint(
                     gs, NamedSharding(mesh, P(None, DATA_AXIS, None)))
@@ -280,9 +286,9 @@ class MultiHostSpecEngine(MultiHostEngine):
             self._dirty = True
             return bool(self.queue) or any(r is not None
                                            for r in self.slot_req)
-        # power-of-two bucketing: each (R, s_bound, greedy) compiles its
-        # own R-round whole-model scan (same reason as the parent's K)
-        R = 1 << (R.bit_length() - 1)
+        # R stays EXACT: it is a dynamic operand of the one compiled chunk
+        # (build_spec_chunk r_dyn), identical on every host because it is
+        # derived from the allgathered plans alone
         greedy = bool(plans[:, _PLAN_GREEDY].all())
         s_bound = 0
         if self._kb.attn_bidx_factory is not None:
@@ -292,12 +298,13 @@ class MultiHostSpecEngine(MultiHostEngine):
         nfns = len(self._spec_fns)
         tok0 = self.stats.decode_tokens
         t0 = time.perf_counter()
-        fn = self._get_spec_chunk(R, s_bound, greedy)
+        fn = self._get_spec_chunk(s_bound, greedy)
         if self._dirty or self._pend_g is None:
             self._upload_state()
         gs, accs, self.cache, self._hist_g, pend_g, pos_g, self._keys_g = fn(
             self.params, self.cache, self._pend_g, self._pos_g,
-            self._hist_g, self._keys_g, self._temps_g, self._topps_g)
+            self._hist_g, self._keys_g, self._temps_g, self._topps_g,
+            np.int32(R))
         # ONE host fetch for everything the scheduler needs (each fetch is
         # a full DCN/tunnel round trip)
         gs_l = multihost_utils.global_array_to_host_local_array(

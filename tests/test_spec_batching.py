@@ -359,6 +359,6 @@ def test_spec_batched_width_arms_correct(tmp_path):
         prompts, max_new_tokens=24, temperature=0.0, stop_tokens=())]
     assert got == want
     # unmeasured-first arbitration ran spec at both widths
-    widths_run = {k[3] for k in spec._spec_fns}
+    widths_run = {k[2] for k in spec._spec_fns}
     assert widths_run == {2, 4}
     assert spec.spec_drafted > 0

@@ -416,8 +416,19 @@ class BatchedEngine:
         return None, 0
 
     def _get_chunk(self, n_steps: int, greedy_only: bool, s_bound: int = 0,
-                   deferred: bool = False):
-        key_ = (n_steps, greedy_only, s_bound, deferred)
+                   deferred: bool = False, dynamic: bool = False):
+        """``dynamic=True`` returns the ONE program whose step count is a
+        runtime scalar operand (``k_dyn`` <= n_steps, a lax.while_loop trip
+        count; output rows past k_dyn are zero).  Every drain/qos chunk
+        shorter than decode_chunk runs through it, so short chunks never
+        compile their own whole-model K-step scan — under the spec engine's
+        tuner the drain K values depend on the measured arm sequence, and
+        the old per-K buckets kept compiling inside measured benchmark
+        passes.  The steady K == decode_chunk chunk keeps its static
+        lax.scan program (the serving headline path, byte-identical to
+        before)."""
+        key_ = (("dyn", greedy_only, s_bound) if dynamic
+                else (n_steps, greedy_only, s_bound, deferred))
         if key_ not in self._chunk_fns:
             cfg, mm, mi, ab = (self.config, self._mm, self._mm_idx,
                                self._attn_bidx)
@@ -431,7 +442,9 @@ class BatchedEngine:
                 self._chunk_fns[key_] = fn
                 return fn
 
-            def chunk(params, cache, tokens, pos, keys, temps, topps):
+            def make_body(params, temps, topps):
+                # one decode step; shared by the static scan and the
+                # dynamic while_loop programs below
                 def body(carry, _):
                     tok, pos, cache, keys = carry
                     if self._spmd:
@@ -455,13 +468,35 @@ class BatchedEngine:
                             logits, splits[:, 1], temps, topps)
                     pos = jnp.minimum(pos + 1, S - 1)
                     return (nxt, pos, cache, keys), nxt
+                return body
 
+            def chunk(params, cache, tokens, pos, keys, temps, topps):
                 (tok, pos, cache, keys), toks = jax.lax.scan(
-                    body, (tokens, pos, cache, keys), length=n_steps)
+                    make_body(params, temps, topps),
+                    (tokens, pos, cache, keys), length=n_steps)
+                return toks, cache, keys
+
+            def chunk_dyn(params, cache, tokens, pos, keys, temps, topps,
+                          k_dyn):
+                body = make_body(params, temps, topps)
+                toks0 = jnp.zeros((n_steps, tokens.shape[0]), tokens.dtype)
+
+                def cond_fn(c):
+                    return c[0] < k_dyn
+
+                def body_fn(c):
+                    k, st, toks = c
+                    st, nxt = body(st, None)
+                    return k + 1, st, toks.at[k].set(nxt)
+
+                _, (tok, pos, cache, keys), toks = jax.lax.while_loop(
+                    cond_fn, body_fn,
+                    (jnp.int32(0), (tokens, pos, cache, keys), toks0))
                 return toks, cache, keys
 
             self._chunk_fns[key_] = jax.jit(
-                chunk, donate_argnums=(1,) if self.ec.donate_cache else ())
+                chunk_dyn if dynamic else chunk,
+                donate_argnums=(1,) if self.ec.donate_cache else ())
         return self._chunk_fns[key_]
 
     def _build_deferred_chunk(self, n_steps: int, greedy_only: bool,
@@ -717,11 +752,10 @@ class BatchedEngine:
         self._emit(slot, first, from_decode=False)
 
     def _plan_chunk(self, live):
-        """(K, greedy_only): chunk length bucketed DOWN to a power of two —
-        each distinct K compiles its own K-step whole-model scan, and the
-        tail of a request would otherwise produce arbitrary values in
-        [1, decode_chunk] (log2 variants instead); rounding down never
-        overruns position/length bounds."""
+        """(K, greedy_only): EXACT chunk length — K shorter than
+        decode_chunk is a runtime operand of the one dynamic program
+        (_get_chunk dynamic=True), so drains and qos caps run exactly the
+        steps they need with no per-K compile."""
         K = min(self.decode_chunk,
                 min(self.S - 1 - int(self.pos[b]) for b in live),
                 max(req.max_new_tokens - len(req.output_tokens)
@@ -733,7 +767,6 @@ class BatchedEngine:
             # while the queued request's TTFT clock runs)
             K = min(K, self.ec.qos_chunk)
         K = max(K, 1)
-        K = 1 << (K.bit_length() - 1)
         greedy_only = all(self.slot_req[b].temperature <= 0.0 for b in live)
         return K, greedy_only
 
@@ -759,17 +792,29 @@ class BatchedEngine:
         # the chunk scan on top of the multi-GB cache (the K <= 32 cap is
         # a memory bound too, not just a traffic tradeoff).
         deferred = bool(self._deferred_ok and 2 <= K <= 32)
-        fn = self._get_chunk(K, greedy_only, s_bound, deferred)
-        toks, self.cache, self._keys = fn(
-            self.params, self.cache, pending, pos, self._keys,
-            jnp.asarray(self.temps), jnp.asarray(self.topps))
+        if K == self.decode_chunk or deferred:
+            fn = self._get_chunk(K, greedy_only, s_bound, deferred)
+            toks, self.cache, self._keys = fn(
+                self.params, self.cache, pending, pos, self._keys,
+                jnp.asarray(self.temps), jnp.asarray(self.topps))
+        else:
+            # short (drain/qos) chunk: the one dynamic program, K as a
+            # runtime operand — no per-K whole-model compile
+            fn = self._get_chunk(self.decode_chunk, greedy_only, s_bound,
+                                 dynamic=True)
+            toks, self.cache, self._keys = fn(
+                self.params, self.cache, pending, pos, self._keys,
+                jnp.asarray(self.temps), jnp.asarray(self.topps),
+                np.int32(K))
         return toks
 
     def _apply_chunk(self, toks_np: np.ndarray, K: int, live) -> None:
         """Host bookkeeping for one consumed chunk: mirror the device
         position arithmetic, park idle slots, emit tokens."""
         self.pos = np.minimum(self.pos + K, self.S - 1)
-        self.pending = toks_np[-1].copy()
+        # row K-1, NOT -1: the dynamic short-chunk program's buffer is
+        # decode_chunk rows with rows >= K zero
+        self.pending = toks_np[K - 1].copy()
         for b in range(self.B):
             if self.slot_req[b] is None:        # park idle slots at 0 so the
                 self.pos[b] = 0                 # bounded attention window
@@ -849,7 +894,9 @@ class BatchedEngine:
                 toks = self._dispatch_chunk(
                     K, greedy_only, pend_dev, jnp.asarray(pos_np),
                     int(pos_np.max()))
-                pend_dev = toks[-1]                 # device row, no sync
+                pend_dev = toks[K - 1]              # device row, no sync
+                # (row K-1, not -1: short chunks run the dynamic program
+                # whose buffer has decode_chunk rows, rows >= K zero)
                 pos_np = np.minimum(pos_np + K, self.S - 1)
                 inflight.append(toks)
                 dispatched += 1

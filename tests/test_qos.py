@@ -102,7 +102,8 @@ def test_qos_off_keeps_order_and_chunks(tmp_path):
     c = eng.submit([5, 6], max_new_tokens=6, stop_tokens=())
     eng._admit_pending()                         # a, b admitted; c queued
     K, _ = eng._plan_chunk(eng._live_slots())
-    assert K == 4                                # budget-bound, NOT capped
+    assert K == 5                                # EXACT remaining budget
+    # (6 requested - the prefill-sampled token), NOT pow2-bucketed
     eng.run()
     assert a.first_token_s < c.first_token_s     # FIFO kept
     assert b.first_token_s < c.first_token_s

@@ -330,9 +330,10 @@ def test_spec_width_arms_tuner_unit():
     t.record(0, 230, 1.0)
     assert t.choose() == 0                 # count=4: probe fires (loser 0)
     assert t.choose() == 4                 # winner: spec@4
-    # count=4k: probes rotate over BOTH losers, not just one
+    # probes rotate over BOTH losers — sparser over time (each probe that
+    # confirms the winner doubles the interval, capped at 8x probe_every)
     probes = set()
-    for _ in range(12):
+    for _ in range(40):
         a = t.choose()
         if a != 4:
             probes.add(a)

@@ -149,13 +149,17 @@ def bench_spec_serving(cfg, params, batch, n_tokens, prompt, scales):
                                          fuse_weights=False,
                                          scale_dtype=scales),
                             decode_chunk=64, width=4, rounds_per_chunk=32)
-    t0 = time.perf_counter()
-    for _ in range(batch):
-        eng.submit(prompt, max_new_tokens=n_tokens + 1, temperature=0.0,
-                   stop_tokens=())
-    eng.run()
-    print(f"# spec warmup (compile) {time.perf_counter()-t0:.1f}s",
-          file=sys.stderr)
+    # tuner-on engines warm up TWICE: the tuner's arm sequence differs
+    # between passes, so one pass can leave programs cold that the measured
+    # pass then compiles in the timed region (tools/spec_batch_ab.py)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(batch):
+            eng.submit(prompt, max_new_tokens=n_tokens + 1, temperature=0.0,
+                       stop_tokens=())
+        eng.run()
+        print(f"# spec warmup (compile) {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
     eng.stats.decode_s = eng.stats.prefill_s = 0.0
     eng.stats.total_output_tokens = eng.stats.decode_tokens = 0
     for _ in range(batch):

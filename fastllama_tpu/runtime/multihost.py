@@ -412,15 +412,24 @@ class MultiHostEngine:
                 f, donate_argnums=(6,) if self.ec.donate_cache else ())
         return self._tail_fns[key_]
 
-    def _get_chunk(self, n_steps: int, greedy_only: bool, s_bound: int = 0):
-        key_ = (n_steps, greedy_only, s_bound)
+    def _get_chunk(self, n_steps: int, greedy_only: bool, s_bound: int = 0,
+                   dynamic: bool = False):
+        """``dynamic=True``: the one program whose step count is a runtime
+        scalar (lax.while_loop trip count, k_dyn <= n_steps; output rows
+        past k_dyn are zero).  Fleet chunks shorter than decode_chunk run
+        through it — K is derived from the allgathered plans, so every
+        host passes the same operand and lockstep holds with FEWER distinct
+        programs (the per-K buckets measured as 37 s p95 probe TTFT in
+        tools/qos_bench.py: drain-K compiles landing in the probe window)."""
+        key_ = (("dyn", greedy_only, s_bound) if dynamic
+                else (n_steps, greedy_only, s_bound))
         if key_ not in self._chunk_fns:
             cfg, cdt, S, kb = self.config, self._cdt, self.S, self._kb
             ab = kb.attn_bidx
             if s_bound and kb.attn_bidx_factory is not None:
                 ab = kb.attn_bidx_factory(s_bound)
 
-            def chunk(params, cache, tokens, pos, keys, temps, topps):
+            def make_body(params, temps, topps):
                 def body(carry, _):
                     tok, pos, cache, keys = carry
                     if self._spmd:
@@ -445,15 +454,40 @@ class MultiHostEngine:
                             logits, splits[:, 1], temps, topps)
                     pos = jnp.minimum(pos + 1, S - 1)
                     return (nxt, pos, cache, keys), nxt
+                return body
 
-                (tok, pos, cache, keys), toks = jax.lax.scan(
-                    body, (tokens, pos, cache, keys), length=n_steps)
+            def shard_out(toks):
                 # slot-major so hosts read their own columns off DCN
                 return jax.lax.with_sharding_constraint(
-                    toks, NamedSharding(self.mesh, P(None, DATA_AXIS))), cache
+                    toks, NamedSharding(self.mesh, P(None, DATA_AXIS)))
+
+            def chunk(params, cache, tokens, pos, keys, temps, topps):
+                (tok, pos, cache, keys), toks = jax.lax.scan(
+                    make_body(params, temps, topps),
+                    (tokens, pos, cache, keys), length=n_steps)
+                return shard_out(toks), cache
+
+            def chunk_dyn(params, cache, tokens, pos, keys, temps, topps,
+                          k_dyn):
+                body = make_body(params, temps, topps)
+                toks0 = jnp.zeros((n_steps, tokens.shape[0]), tokens.dtype)
+
+                def cond_fn(c):
+                    return c[0] < k_dyn
+
+                def body_fn(c):
+                    k, st, toks = c
+                    st, nxt = body(st, None)
+                    return k + 1, st, toks.at[k].set(nxt)
+
+                _, (tok, pos, cache, keys), toks = jax.lax.while_loop(
+                    cond_fn, body_fn,
+                    (jnp.int32(0), (tokens, pos, cache, keys), toks0))
+                return shard_out(toks), cache
 
             self._chunk_fns[key_] = jax.jit(
-                chunk, donate_argnums=(1,) if self.ec.donate_cache else ())
+                chunk_dyn if dynamic else chunk,
+                donate_argnums=(1,) if self.ec.donate_cache else ())
         return self._chunk_fns[key_]
 
     # -- scheduling ------------------------------------------------------------
@@ -805,8 +839,10 @@ class MultiHostEngine:
     def _decode_round(self, plans: np.ndarray) -> None:
         """One lockstep decode chunk (every host derives the same K/greedy/
         s_bound from the allgathered plans and issues the same jit call)."""
-        K = int(plans[:, _PLAN_KMAX].min())
-        K = 1 << (max(K, 1).bit_length() - 1)
+        # EXACT fleet K (min over hosts) — short chunks are a runtime
+        # operand of the one dynamic program, so no pow2 bucketing and no
+        # per-K compile; every host derives the same K from the same plans
+        K = max(1, int(plans[:, _PLAN_KMAX].min()))
         greedy = bool(plans[:, _PLAN_GREEDY].all())
         # bounded flash window: every host must compile the same s_bound
         s_bound = 0
@@ -822,7 +858,9 @@ class MultiHostEngine:
         kv[:, 1] = (kv[:, 1] + self._chunk_counter) & 0xFFFFFFFF
 
         t0 = time.perf_counter()
-        fn = self._get_chunk(K, greedy, s_bound)
+        dyn = K < self.decode_chunk
+        fn = self._get_chunk(self.decode_chunk if dyn else K, greedy,
+                             s_bound, dynamic=dyn)
         t1 = time.perf_counter()
         args = (self.params, self.cache,
                 self._to_global(self.pending[:dw], self._sh_slot_i32),
@@ -830,6 +868,8 @@ class MultiHostEngine:
                 self._to_global(kv, self._sh_rows2),
                 self._to_global(self.temps[:dw], self._sh_slot_f32),
                 self._to_global(self.topps[:dw], self._sh_slot_f32))
+        if dyn:
+            args = args + (np.int32(K),)
         t2 = time.perf_counter()
         toks, self.cache = fn(*args)
         t3 = time.perf_counter()
@@ -843,7 +883,9 @@ class MultiHostEngine:
 
         live = [i for i, r in enumerate(self.slot_req) if r is not None]
         self.pos[:dw] = np.minimum(self.pos[:dw] + K, self.S - 1)
-        self.pending[:dw] = toks_np[-1]
+        # row K-1, NOT -1: the dynamic short-chunk buffer has decode_chunk
+        # rows with rows >= K zero
+        self.pending[:dw] = toks_np[K - 1]
         for w in range(dw):
             if w >= self.serve_w or self.slot_req[w] is None:
                 self.pos[w] = 0

@@ -40,56 +40,76 @@ from tools.spec_batch_ab import CONFIGS  # noqa: E402
 
 
 def run_load(eng, batch, n_probes, probe_tokens=8):
-    """Closed-loop saturating load: every slot busy with a STAGGERED-length
-    low-priority job and >=2 more always queued, so slots free mid-stream
-    at uncorrelated times.  A high-priority probe submitted under that load
-    waits for (a) a slot to free and (b) the running chunk to end — (b) is
-    what ``qos_chunk`` bounds.  The first tool version gave every low job
-    the same length, so completions aligned with chunk boundaries and most
-    probes found free slots (TTFT ~= prefill at every setting: measured
-    p50 39.7 vs 43.9 ms, no signal).  Returns (probe TTFTs, aggregate)."""
+    """Saturating load + an ARRIVAL-PROCESS prober.
+
+    Load: every slot busy with a STAGGERED-length low-priority job and >=2
+    more always queued (qos_chunk binds only while something queues).
+
+    Probing: a second thread stamps each probe's arrival at a random wall
+    time and then submits through the engine's front-door lock, which the
+    driver holds across each ``step()``.  TTFT is measured from the
+    ARRIVAL stamp, so it includes the wait for the chunk that was running
+    when the probe arrived — the mid-chunk wait ``qos_chunk`` exists to
+    bound.  Two earlier closed-loop versions measured no signal: same-length
+    jobs aligned completions with chunk boundaries, and boundary-synchronous
+    submission (probe submitted between step() calls) measured only
+    admission+prefill (~43 ms) at EVERY qos setting.  Returns
+    (probe TTFTs from arrival, aggregate tok/s)."""
+    import threading
+
     rng = np.random.default_rng(0)
     low = ([7, 121, 3088, 59] * 11)[:43]
     hi = [9, 17, 25]
 
     def top_up():
-        # keep the queue non-empty (qos_chunk binds only while something
-        # queues) and the slots saturated; staggered lengths decorrelate
-        # slot-free times from chunk boundaries
+        # staggered lengths decorrelate slot-free times from chunk
+        # boundaries
         while len(eng.queue) < 2 + batch - sum(
                 r is not None for r in eng.slot_req):
             eng.submit(low, max_new_tokens=int(rng.integers(16, 257)),
                        temperature=0.0, stop_tokens=())
 
-    # warmup phase: identical shape to the measured phase (fills the slots,
-    # runs capped AND full chunks, admits a probe) so every (K, s_bound)
-    # bucket compiles before timing starts
+    # warmup: a full turnover of the staggered load (2*batch completions,
+    # so positions sweep the whole length range and every (s_bound, chunk)
+    # program compiles), plus one admitted probe
     top_up()
     eng.step()
     w = eng.submit(hi, max_new_tokens=probe_tokens, temperature=0.0,
                    stop_tokens=(), priority=5)
-    while not w.done:
+    done0 = eng.stats.completed
+    while not w.done or eng.stats.completed - done0 < 2 * batch:
         top_up()
         eng.step()
     eng.stats.decode_s = eng.stats.prefill_s = 0.0
     eng.stats.total_output_tokens = eng.stats.decode_tokens = 0
 
-    probes = []
-    rounds = 0
-    while len(probes) < n_probes or not all(p.done for p in probes):
-        top_up()
-        eng.step()
-        rounds += 1
-        if rounds % 4 == 0 and len(probes) < n_probes:
-            probes.append(eng.submit(hi, max_new_tokens=probe_tokens,
-                                     temperature=0.0, stop_tokens=(),
-                                     priority=5))
+    lock = threading.Lock()
+    probes = []                      # (arrival_stamp, Request)
+
+    def prober():
+        prng = np.random.default_rng(1)
+        for _ in range(n_probes):
+            time.sleep(float(prng.uniform(0.2, 1.6)))
+            t_arr = time.perf_counter()
+            with lock:
+                r = eng.submit(hi, max_new_tokens=probe_tokens,
+                               temperature=0.0, stop_tokens=(), priority=5)
+            probes.append((t_arr, r))
+
+    th = threading.Thread(target=prober)
+    th.start()
+    while (th.is_alive() or len(probes) < n_probes
+           or not all(r.done for _, r in probes)):
+        with lock:
+            top_up()
+            eng.step()
+    th.join()
     agg = eng.stats.aggregate_tps
     # drain the backlog so the caller's del/clear actually frees the cache
     for r in list(eng.queue):
         r.max_new_tokens = 1
     eng.run()
-    ttfts = [p.ttft for p in probes]
+    ttfts = [r.first_token_s - t_arr for t_arr, r in probes]
     return ttfts, agg
 
 

@@ -149,17 +149,25 @@ def bench_spec_serving(cfg, params, batch, n_tokens, prompt, scales):
                                          fuse_weights=False,
                                          scale_dtype=scales),
                             decode_chunk=64, width=4, rounds_per_chunk=32)
-    # tuner-on engines warm up TWICE: the tuner's arm sequence differs
-    # between passes, so one pass can leave programs cold that the measured
-    # pass then compiles in the timed region (tools/spec_batch_ab.py)
-    for _ in range(2):
+    # tuner-on engines warm up until the compiled-program set stops
+    # growing: the tuner's arm sequence differs between passes, so a fixed
+    # number of passes can leave programs cold that the measured pass then
+    # compiles in the timed region (tools/spec_batch_ab.py)
+    def n_programs():
+        return len(eng._spec_fns) + len(eng._chunk_fns) + \
+            len(eng._prefill_fns)
+
+    for i in range(6):
+        before = n_programs()
         t0 = time.perf_counter()
         for _ in range(batch):
             eng.submit(prompt, max_new_tokens=n_tokens + 1, temperature=0.0,
                        stop_tokens=())
         eng.run()
-        print(f"# spec warmup (compile) {time.perf_counter()-t0:.1f}s",
-              file=sys.stderr)
+        print(f"# spec warmup (compile) {time.perf_counter()-t0:.1f}s "
+              f"({n_programs()} programs)", file=sys.stderr)
+        if i >= 1 and n_programs() == before:
+            break
     eng.stats.decode_s = eng.stats.prefill_s = 0.0
     eng.stats.total_output_tokens = eng.stats.decode_tokens = 0
     for _ in range(batch):

@@ -108,6 +108,14 @@ class SpecAutoTuner:
         self._gap = probe_every
         self._last_probe = 0
         self._prev_winner = None
+        # drift watch: backoff assumes a STATIONARY workload.  When the
+        # winner's own EMA moves >drift_tol since the last probe, the
+        # workload changed (e.g. long-context positions sweeping up — the
+        # regime where the best draft width flips from 2 to 4), so the
+        # probe interval resets: measured 959.6 tok/s with plain backoff
+        # vs 1182 static-D=4 at 7B S=2048 before this rule
+        self.drift_tol = 0.10
+        self._ema_ref = None
 
     def record(self, arm, tokens: int, secs: float,
                compiled: bool = False) -> None:
@@ -130,11 +138,17 @@ class SpecAutoTuner:
             if self._prev_winner is not None:
                 self._gap = self.probe_every     # order flipped: re-probe fast
             self._prev_winner = winner
+            self._ema_ref = self.ema[winner]
+        elif (self._ema_ref and abs(self.ema[winner] / self._ema_ref - 1.0)
+                > self.drift_tol):
+            self._gap = self.probe_every         # workload drifted: re-probe
+            self._ema_ref = self.ema[winner]
         if (len(self.arms) > 1
                 and self.count - self._last_probe >= self._gap):
             self._last_probe = self.count
             self._gap = min(self._gap * 2,
                             self.probe_every * self.backoff_cap)
+            self._ema_ref = self.ema[winner]
             losers = [a for a in self.arms if a != winner]
             self._probe_i += 1
             return losers[self._probe_i % len(losers)]

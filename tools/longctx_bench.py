@@ -61,22 +61,43 @@ def drive(eng, prompt, batch, n_tokens):
     # bucket's compile INSIDE the timed region (first measured: plain
     # "485", spec "166" at S=2048 — both numbers were mostly compile time;
     # spec chunks are whole-model R-round scans that take minutes each)
-    # tuner-on engines warm up TWICE: the tuner's mode sequence differs
-    # between passes, so one pass can leave (R, s_bound, D) buckets cold
-    # that the measured pass then compiles in the timed region
-    for _ in range(2 if getattr(eng, "_tuner", None) is not None else 1):
+    # tuner engines warm up until the compiled-program set stops growing:
+    # the tuner's arm sequence differs between passes, so a fixed number of
+    # passes can leave (s_bound, D) combos cold that the measured pass then
+    # compiles in the timed region (measured: EMAs ~1080 tok/s but 296
+    # end-to-end — 50 s of cache-load stalls in one measured pass)
+    def n_programs():
+        return (len(getattr(eng, "_spec_fns", {}))
+                + len(getattr(eng, "_chunk_fns", {}))
+                + len(getattr(eng, "_prefill_fns", {})))
+
+    tuned = getattr(eng, "_tuner", None) is not None
+    for i in range(6 if tuned else 1):
+        before = n_programs()
         for _ in range(batch):
             eng.submit(prompt, max_new_tokens=n_tokens, temperature=0.0,
                        stop_tokens=())
         t0 = time.perf_counter()
         eng.run()
-        print(f"# warmup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        print(f"# warmup {time.perf_counter()-t0:.1f}s "
+              f"({n_programs()} programs)", file=sys.stderr)
+        if i >= 1 and n_programs() == before:
+            break
+    tuner = getattr(eng, "_tuner", None)
+    if tuner is not None:
+        ema = {k: round(v, 1) for k, v in tuner.ema.items() if v is not None}
+        print(f"# tuner ema after warmup (arm -> tok/s): {ema}",
+              file=sys.stderr)
     eng.stats.decode_s = eng.stats.prefill_s = 0.0
     eng.stats.total_output_tokens = eng.stats.decode_tokens = 0
     for _ in range(batch):
         eng.submit(prompt, max_new_tokens=n_tokens, temperature=0.0,
                    stop_tokens=())
     eng.run()
+    if tuner is not None:
+        ema = {k: round(v, 1) for k, v in tuner.ema.items() if v is not None}
+        print(f"# tuner ema after measure (arm -> tok/s): {ema}",
+              file=sys.stderr)
     return eng.stats.aggregate_tps, eng.stats.decode_tokens
 
 

@@ -48,20 +48,30 @@ CONFIGS = {
 
 
 def drive(eng, prompt, batch, n_tokens, warmups=None):
-    # with the tuner ON the warmup must run TWICE: the tuner's mode
-    # sequence differs between passes (its chunk counter carries over), so
-    # a single warmup can leave (R, s_bound) buckets cold that the measured
-    # pass then compiles IN the timed region (first tuner-on A/B measured
-    # "spec 562 tok/s" at B=48/W=2 — mostly compile+cache-load stalls)
+    # tuner engines warm up until the compiled-program set stops growing:
+    # the tuner's arm sequence differs between passes (its chunk counter
+    # carries over), so a FIXED number of warmups can leave (s_bound, D)
+    # combos cold that the measured pass then compiles IN the timed region
+    # (first tuner-on A/B measured "spec 562 tok/s" at B=48/W=2 — mostly
+    # compile/cache-load stalls)
+    def n_programs():
+        return (len(getattr(eng, "_spec_fns", {}))
+                + len(getattr(eng, "_chunk_fns", {}))
+                + len(getattr(eng, "_prefill_fns", {})))
+
     if warmups is None:
-        warmups = 2 if getattr(eng, "_tuner", None) is not None else 1
+        warmups = 6 if getattr(eng, "_tuner", None) is not None else 1
     for w in range(warmups):
+        before = n_programs()
         for _ in range(batch):
             eng.submit(prompt, max_new_tokens=n_tokens + 1, temperature=0.0,
                        stop_tokens=())
         t0 = time.perf_counter()
         eng.run()
-        print(f"# warmup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        print(f"# warmup {time.perf_counter()-t0:.1f}s "
+              f"({n_programs()} programs)", file=sys.stderr)
+        if w >= 1 and n_programs() == before:
+            break
     eng.stats.decode_s = eng.stats.prefill_s = 0.0
     eng.stats.total_output_tokens = eng.stats.decode_tokens = 0
     for _ in range(batch):

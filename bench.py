@@ -233,8 +233,10 @@ def main():
     quant = os.environ.get("BENCH_QUANT", "int8")
     # bf16 group-scale storage halves the 416 MB/step f32 scale stream
     # (quant/groupquant.compress_scales; NEXT.md r4 "the one remaining
-    # idea") — measured A/B via BENCH_SCALES=bfloat16
-    scales = os.environ.get("BENCH_SCALES", "float32")
+    # idea") — measured A/B via BENCH_SCALES=float32/bfloat16; default
+    # "auto" = the engine's measured per-engine resolution (bf16 only on
+    # the single-stream INT8 Pallas path, config.resolve_scale_dtype)
+    scales = os.environ.get("BENCH_SCALES", "auto")
     cfg = CONFIGS[name]
     # serving-slot context class (NEXT.md #8): shorter slots fit more of
     # them in HBM — e.g. 7b int8+kv8 B=48 fits at S=512 (OOM at 1024)

@@ -246,8 +246,15 @@ class Engine:
         return self._prefill_fns[key_]
 
     def _get_decode_chunk(self, n_steps: int, temperature: float, topp: float,
-                          s_bound: int = 0):
-        key_ = (n_steps, temperature, topp, s_bound)
+                          s_bound: int = 0, dynamic: bool = False):
+        """``dynamic=True``: n_steps sizes the output buffer and the actual
+        step count is the runtime scalar ``k_dyn`` (lax.while_loop trip
+        count; rows past k_dyn are zero).  The tail chunk of a generation
+        (max_new_tokens % decode_chunk) used to compile a fresh whole-model
+        scan PER DISTINCT TAIL LENGTH — ~30-100 s at 7B for every new
+        ``-n`` a user passes."""
+        key_ = (("dyn", n_steps, temperature, topp, s_bound) if dynamic
+                else (n_steps, temperature, topp, s_bound))
         if key_ not in self._decode_fns:
             cfg, mm, at = self.config, self._mm, self._attn
             mi, ai, cdt = self._mm_idx, self._attn_idx, self._cdt
@@ -278,19 +285,40 @@ class Engine:
                                    mm=mm, attn=at, mm_idx=mi, attn_idx=ai,
                                    compute_dtype=cdt)
 
-            def chunk(params, cache, token, pos0, rng):
+            def make_body(params):
                 def body(carry, _):
                     tok, pos, cache, rng = carry
                     lg, cache = step_fn(params, tok, pos, cache)
                     rng, sub = jax.random.split(rng)
                     nxt = sampling.sample(lg[0], sub, temperature, topp)
                     return (nxt, pos + 1, cache, rng), nxt
+                return body
 
+            def chunk(params, cache, token, pos0, rng):
                 (tok, pos, cache, rng), toks = jax.lax.scan(
-                    body, (token, pos0, cache, rng), length=n_steps)
+                    make_body(params), (token, pos0, cache, rng),
+                    length=n_steps)
                 return toks, cache, rng
 
-            self._decode_fns[key_] = jax.jit(chunk, donate_argnums=(1,))
+            def chunk_dyn(params, cache, token, pos0, rng, k_dyn):
+                body = make_body(params)
+                toks0 = jnp.zeros((n_steps,), token.dtype)
+
+                def cond_fn(c):
+                    return c[0] < k_dyn
+
+                def body_fn(c):
+                    k, st, toks = c
+                    st, nxt = body(st, None)
+                    return k + 1, st, toks.at[k].set(nxt)
+
+                _, (tok, pos, cache, rng), toks = jax.lax.while_loop(
+                    cond_fn, body_fn,
+                    (jnp.int32(0), (token, pos0, cache, rng), toks0))
+                return toks, cache, rng
+
+            self._decode_fns[key_] = jax.jit(chunk_dyn if dynamic else chunk,
+                                             donate_argnums=(1,))
         return self._decode_fns[key_]
 
     def _get_step(self):
@@ -430,15 +458,25 @@ class Engine:
                     sb = (round_bound(p0 + n, cfg.max_seq_len)
                           if (self._attn_idx_factory or
                               self._sp_attn_bidx_factory) else 0)
-                    fn = self._get_decode_chunk(n, temperature, topp, sb)
-                    toks, cache, rng = fn(self.params, cache, tok, p0, rng)
-                    tok = toks[-1]      # device slice, no host sync
+                    if n == decode_chunk:
+                        fn = self._get_decode_chunk(n, temperature, topp, sb)
+                        toks, cache, rng = fn(self.params, cache, tok, p0,
+                                              rng)
+                    else:
+                        # tail chunk: the ONE dynamic program (step count
+                        # is a runtime operand), not a per-length compile
+                        fn = self._get_decode_chunk(decode_chunk,
+                                                    temperature, topp, sb,
+                                                    dynamic=True)
+                        toks, cache, rng = fn(self.params, cache, tok, p0,
+                                              rng, np.int32(n))
+                    tok = toks[n - 1]   # device slice, no host sync
                     planned += n
                     inflight.append((toks, n))
                 if not inflight:
                     break
                 toks, n = inflight.pop(0)
-                for t in np.asarray(toks).tolist():
+                for t in np.asarray(toks)[:n].tolist():
                     pos += 1
                     if not emit(int(t)) or int(t) in stop_set:
                         stop = True
@@ -539,11 +577,21 @@ class ChatSession:
             sb = (round_bound(self.pos + n, eng.config.max_seq_len)
                   if (eng._attn_idx_factory or
                       eng._sp_attn_bidx_factory) else 0)
-            fn = eng._get_decode_chunk(n, temperature, topp, sb)
-            toks_out, self.cache, rng = fn(
-                eng.params, self.cache, jnp.asarray(pending, jnp.int32),
-                self.pos, rng)
-            seq = np.asarray(toks_out).tolist()
+            if n == DEFAULT_DECODE_CHUNK:
+                fn = eng._get_decode_chunk(n, temperature, topp, sb)
+                toks_out, self.cache, rng = fn(
+                    eng.params, self.cache, jnp.asarray(pending, jnp.int32),
+                    self.pos, rng)
+            else:
+                # tail chunk through the one dynamic program (no
+                # per-length whole-model compile)
+                fn = eng._get_decode_chunk(DEFAULT_DECODE_CHUNK,
+                                           temperature, topp, sb,
+                                           dynamic=True)
+                toks_out, self.cache, rng = fn(
+                    eng.params, self.cache, jnp.asarray(pending, jnp.int32),
+                    self.pos, rng, np.int32(n))
+            seq = np.asarray(toks_out)[:n].tolist()
             accepted = 1                      # pending's row was written
             nxt = seq[-1]                     # not in cache
             for t in seq[:-1]:
